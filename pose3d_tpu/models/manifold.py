@@ -1,0 +1,207 @@
+"""The manifold descriptor CNN family, as functional pytrees.
+
+Reproduces the reference's model zoo (network/*.prototxt, see SURVEY.md §2.1):
+a shared trunk ``conv(16,8x8,valid) -> maxpool2 -> act -> conv(7,5x5,valid)
+-> maxpool2 -> act -> fc(256) -> act -> fc(desc_dim)`` with per-variant
+activation, input-channel selection, and descriptor dimension; plus the
+binarization head ``fc(512) -> PReLU -> fc(128)`` on a frozen trunk
+(network/manifold_rgbdnor_16_bin.prototxt:121-154).
+
+TPU-first choices:
+  * NHWC layout (XLA's native conv layout on TPU) with HWIO weights; the
+    flatten before fc1 transposes to CHW order so Caffe-trained weights can
+    be imported bit-for-bit;
+  * Caffe's *ceil-mode* pooling (64 -> conv8 -> 57 -> pool -> 29 -> conv5 ->
+    25 -> pool -> 13) is reproduced by padding the trailing edge with -inf —
+    without this the fc1 fan-in (7*13*13 = 1183) would differ from Caffe;
+  * pure functions — params are plain nested dicts, so jit/grad/pjit
+    compose without a module framework in the hot path.
+
+Channel selection mirrors the prototxts' Slice/Concat/Silence frontend
+(e.g. network/manifold_rgbd_16.prototxt:6-41) as a static gather.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Patch channel order: [B, G, R, depth, nx, ny, nz]
+_RGB = (0, 1, 2)
+_RGBD = (0, 1, 2, 3)
+_RGBNOR = (0, 1, 2, 4, 5, 6)
+_ALL7 = (0, 1, 2, 3, 4, 5, 6)
+
+
+@dataclass(frozen=True)
+class NetSpec:
+    """Static description of one network variant."""
+    name: str
+    channels: Tuple[int, ...]
+    activation: str          # 'relu' | 'prelu' | 'elu'
+    desc_dim: int
+    batch_size: int
+    # loss plan: tuple of (row_begin, row_end, num_negatives, use_pair);
+    # row_end == -1 means "to the end of the batch".
+    loss_slices: Tuple[Tuple[int, int, int, int], ...] = ((0, -1, 3, 1),)
+    margin: float = 0.1
+    bin_head: bool = False
+    bin_dim: int = 128
+    bin_hidden: int = 512
+
+    @property
+    def in_channels(self) -> int:
+        return len(self.channels)
+
+    @property
+    def group_sizes(self):
+        return tuple(2 + n for (_, _, n, _) in self.loss_slices)
+
+
+NETWORKS: Dict[str, NetSpec] = {
+    # network/manifold_rgb_16.prototxt — ELU, RGB only
+    "manifold_rgb_16": NetSpec("manifold_rgb_16", _RGB, "elu", 16, 300),
+    # network/manifold_rgbd_16.prototxt — PReLU, RGB-D (the config.ini default)
+    "manifold_rgbd_16": NetSpec("manifold_rgbd_16", _RGBD, "prelu", 16, 300),
+    # network/manifold_rgbnor_16.prototxt — PReLU, RGB + normals
+    "manifold_rgbnor_16": NetSpec("manifold_rgbnor_16", _RGBNOR, "prelu", 16,
+                                  300),
+    # network/manifold_rgbdnor_16.prototxt — ELU, all 7 channels
+    "manifold_rgbdnor_16": NetSpec("manifold_rgbdnor_16", _ALL7, "elu", 16,
+                                   300),
+    # network/manifold_rgbdnor_16_bin.prototxt — frozen PReLU trunk + binary
+    # 128-bit head trained with BinarizationLoss
+    "manifold_rgbdnor_16_bin": NetSpec("manifold_rgbdnor_16_bin", _ALL7,
+                                       "prelu", 16, 300, bin_head=True),
+    # network/manifold_wang.prototxt — ReLU, RGB-D, 64-D descriptor
+    "manifold_wang": NetSpec("manifold_wang", _RGBD, "relu", 64, 300),
+    # network/manifold.prototxt — Wohlhart original: 3-D manifold, batch 330
+    # split at row 198 into (anchor,puller,pusher) triplets + (anchor,puller)
+    # pairs (network/manifold.prototxt:111-171)
+    "manifold": NetSpec("manifold", _RGBD, "relu", 3, 330,
+                        loss_slices=((0, 198, 1, 0), (198, -1, 0, 1))),
+}
+
+_POOLED = 13  # spatial size after the trunk (Caffe ceil-mode arithmetic)
+_CONV2_OUT = 7
+
+
+def _xavier(key, shape, fan_in):
+    """Caffe 'xavier' filler: uniform(±sqrt(3/fan_in)) (default fan_in norm)."""
+    s = jnp.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -s, s)
+
+
+def init_params(key: jax.Array, spec: NetSpec) -> Dict:
+    """Initialize parameters for a variant (Xavier weights, zero biases,
+    PReLU slopes 0.25 — Caffe defaults)."""
+    ks = jax.random.split(key, 8)
+    cin = spec.in_channels
+    p: Dict = {
+        "conv1": {"w": _xavier(ks[0], (8, 8, cin, 16), cin * 64),
+                  "b": jnp.zeros((16,))},
+        "conv2": {"w": _xavier(ks[1], (5, 5, 16, _CONV2_OUT), 16 * 25),
+                  "b": jnp.zeros((_CONV2_OUT,))},
+        "fc1": {"w": _xavier(ks[2], (_CONV2_OUT * _POOLED * _POOLED, 256),
+                             _CONV2_OUT * _POOLED * _POOLED),
+                "b": jnp.zeros((256,))},
+        "fc2": {"w": _xavier(ks[3], (256, spec.desc_dim), 256),
+                "b": jnp.zeros((spec.desc_dim,))},
+    }
+    if spec.activation == "prelu":
+        p["prelu1"] = {"a": jnp.full((16,), 0.25)}
+        p["prelu2"] = {"a": jnp.full((_CONV2_OUT,), 0.25)}
+        p["prelu3"] = {"a": jnp.full((256,), 0.25)}
+    if spec.bin_head:
+        p["bin_fc1"] = {"w": _xavier(ks[4], (spec.desc_dim, spec.bin_hidden),
+                                     spec.desc_dim),
+                        "b": jnp.zeros((spec.bin_hidden,))}
+        p["bin_prelu"] = {"a": jnp.full((spec.bin_hidden,), 0.25)}
+        p["bin_fc2"] = {"w": _xavier(ks[5], (spec.bin_hidden, spec.bin_dim),
+                                     spec.bin_hidden),
+                        "b": jnp.zeros((spec.bin_dim,))}
+    return p
+
+
+def _act(spec: NetSpec, params: Dict, name: str, x: jnp.ndarray) -> jnp.ndarray:
+    if spec.activation == "relu":
+        return jnp.maximum(x, 0.0)
+    if spec.activation == "elu":
+        return jnp.where(x > 0, x, jnp.expm1(x))
+    a = params[name]["a"]  # per-channel learned slope (last axis)
+    return jnp.where(x > 0, x, a * x)
+
+
+def _ceil_maxpool2(x: jnp.ndarray) -> jnp.ndarray:
+    """Caffe-style 2x2/2 max pool with ceil-mode output size: pad the
+    trailing row/col with -inf when the spatial size is odd."""
+    n, h, w, c = x.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    constant_values=-jnp.inf)
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + b
+
+
+def apply(params: Dict, spec: NetSpec, patches: jnp.ndarray,
+          *, bin_head: bool | None = None) -> jnp.ndarray:
+    """Forward pass.
+
+    patches [N, 64, 64, 7] (or already channel-selected [N, 64, 64, C_in])
+    -> descriptors [N, desc_dim] (or [N, bin_dim] pre-sigmoid logits when the
+    variant has a binarization head).
+    """
+    x = patches
+    if x.shape[-1] != spec.in_channels:
+        x = x[..., jnp.array(spec.channels)]
+
+    x = _act(spec, params, "prelu1", _ceil_maxpool2(
+        _conv(x, params["conv1"]["w"], params["conv1"]["b"])))
+    x = _act(spec, params, "prelu2", _ceil_maxpool2(
+        _conv(x, params["conv2"]["w"], params["conv2"]["b"])))
+    # Flatten in CHW order so imported Caffe fc weights line up.
+    n = x.shape[0]
+    x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
+    x = _act(spec, params, "prelu3", x @ params["fc1"]["w"] + params["fc1"]["b"])
+    x = x @ params["fc2"]["w"] + params["fc2"]["b"]
+
+    use_head = spec.bin_head if bin_head is None else bin_head
+    if use_head:
+        h = x @ params["bin_fc1"]["w"] + params["bin_fc1"]["b"]
+        a = params["bin_prelu"]["a"]
+        h = jnp.where(h > 0, h, a * h)
+        x = h @ params["bin_fc2"]["w"] + params["bin_fc2"]["b"]
+    return x
+
+
+def descriptor_fn(spec: NetSpec):
+    """Returns a jittable (params, patches) -> descriptors closure."""
+    return partial(apply, spec=spec)
+
+
+def trunk_param_names(spec: NetSpec) -> Tuple[str, ...]:
+    """Parameter subtrees that belong to the (freezable) trunk."""
+    names = ["conv1", "conv2", "fc1", "fc2"]
+    if spec.activation == "prelu":
+        names += ["prelu1", "prelu2", "prelu3"]
+    return tuple(names)
+
+
+def spec_with_channels(spec: NetSpec, n: int) -> NetSpec:
+    """A copy of ``spec`` taking the first ``n`` patch channels (used when a
+    dataset cache stores 4-channel RGB-D patches, as manifold_wang expects)."""
+    return dataclasses.replace(spec, channels=tuple(range(n)))

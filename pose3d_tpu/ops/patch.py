@@ -1,0 +1,130 @@
+"""Normalized 64x64x7 patch extraction — the §3.2 contract, TPU-style.
+
+The reference's ``samplePatchWithScale`` (src/datasetmanager.cpp:299-346)
+crops a dynamic, z-dependent metric window and resizes it with OpenCV.
+Dynamic crop shapes don't jit, so this implementation never materializes the
+crop: for every output pixel it computes the dynamic source coordinate and
+*gathers* straight from the full frame — a single static-shape XLA program,
+vmap-able over frames.
+
+Contract reproduced exactly (float path, like the reference which converts to
+float before resizing):
+  * metric window m = 0.2 m; pixel size trunc(f * m / z) per axis;
+  * crop origin = center - size/2 (C integer truncation), clamped to
+    [0, dim - size - 1] with the reference's order of clamps;
+  * RGB (stored BGR, as OpenCV loads it) -> value/255, bilinear resize with
+    OpenCV's half-pixel source mapping (src = (dst+0.5)*scale - 0.5) and
+    border clamping;
+  * depth -> demeaned by the center z, clamped to ±m, mapped to [0,1] via
+    (d/m+1)/2; NEAREST resize (src = floor(dst*scale)) — background pixels
+    (depth 0) land exactly on (1 - z/m... clipped) -> 0 when z >= m? No:
+    d=0 gives delta=-z clamped to -m -> value 0, the mask bit the background
+    filler keys on (reference src/bgfill.cpp:106);
+  * normals -> bilinear resize, no renormalization;
+  * output channel order [B, G, R, depth, nx, ny, nz], shape [64, 64, 7].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+PATCH_SIZE = 64
+METRIC_CROP = 0.2
+
+
+def _bilinear_axis(out_size: int, src_size: jnp.ndarray, origin: jnp.ndarray,
+                   limit: int):
+    """Per-output-pixel source indices + weights for one axis.
+
+    ``src_size``/``origin`` are traced scalars (dynamic crop), ``out_size`` and
+    ``limit`` (full-image extent) are static.  Returns (i0, i1, frac) where
+    i0/i1 index the full image.
+    """
+    scale = src_size.astype(jnp.float32) / out_size
+    fx = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
+    x0 = jnp.floor(fx)
+    frac = fx - x0
+    x0 = x0.astype(jnp.int32)
+    # OpenCV border handling: clamp to the crop, pinning the weight.
+    frac = jnp.where(x0 < 0, 0.0, frac)
+    x0 = jnp.maximum(x0, 0)
+    last = src_size - 1
+    frac = jnp.where(x0 >= last, 1.0, frac)
+    x0 = jnp.minimum(x0, jnp.maximum(last - 1, 0))
+    x1 = jnp.minimum(x0 + 1, last)
+    g0 = jnp.clip(origin + x0, 0, limit - 1)
+    g1 = jnp.clip(origin + x1, 0, limit - 1)
+    return g0, g1, frac
+
+
+def _nearest_axis(out_size: int, src_size: jnp.ndarray, origin: jnp.ndarray,
+                  limit: int):
+    scale = src_size.astype(jnp.float32) / out_size
+    sx = jnp.floor(jnp.arange(out_size, dtype=jnp.float32) * scale)
+    sx = jnp.clip(sx.astype(jnp.int32), 0, src_size - 1)
+    return jnp.clip(origin + sx, 0, limit - 1)
+
+
+@partial(jax.jit, static_argnames=("fx", "fy", "m", "out_size"))
+def sample_patch(color: jnp.ndarray, depth: jnp.ndarray, normals: jnp.ndarray,
+                 center_x: jnp.ndarray, center_y: jnp.ndarray, z: jnp.ndarray,
+                 fx: float, fy: float, m: float = METRIC_CROP,
+                 out_size: int = PATCH_SIZE) -> jnp.ndarray:
+    """Extract one normalized patch.
+
+    color   [H, W, 3] float (0..255, BGR);  depth [H, W] metric float;
+    normals [H, W, 3] float;  center/z traced scalars.
+    Returns [out_size, out_size, 7] float32.
+    """
+    H, W = depth.shape
+    z = z.astype(jnp.float32)
+    screen_w = (fx * m / z).astype(jnp.int32)   # C float->int truncation
+    screen_h = (fy * m / z).astype(jnp.int32)
+
+    cx = center_x.astype(jnp.int32)
+    cy = center_y.astype(jnp.int32)
+    # Reference clamp order: floor at 0 first, then the upper bound (which
+    # wins if the window is larger than the image).
+    cut_x = jnp.minimum(jnp.maximum(cx - screen_w // 2, 0), W - screen_w - 1)
+    cut_y = jnp.minimum(jnp.maximum(cy - screen_h // 2, 0), H - screen_h - 1)
+
+    # Bilinear path: BGR + normals share gather indices -> stack to 6 ch.
+    gx0, gx1, ax = _bilinear_axis(out_size, screen_w, cut_x, W)
+    gy0, gy1, ay = _bilinear_axis(out_size, screen_h, cut_y, H)
+    six = jnp.concatenate([color.astype(jnp.float32), normals], axis=-1)
+
+    p00 = six[gy0[:, None], gx0[None, :]]
+    p01 = six[gy0[:, None], gx1[None, :]]
+    p10 = six[gy1[:, None], gx0[None, :]]
+    p11 = six[gy1[:, None], gx1[None, :]]
+    wx = ax[None, :, None]
+    wy = ay[:, None, None]
+    bil = ((p00 * (1 - wx) + p01 * wx) * (1 - wy) +
+           (p10 * (1 - wx) + p11 * wx) * wy)
+
+    rgb = bil[..., :3] / 255.0
+    nor = bil[..., 3:]
+
+    # Nearest path for depth, then demean/clamp/rescale (commutes with NN).
+    gxn = _nearest_axis(out_size, screen_w, cut_x, W)
+    gyn = _nearest_axis(out_size, screen_h, cut_y, H)
+    d = depth[gyn[:, None], gxn[None, :]].astype(jnp.float32)
+    d = jnp.clip(d - z, -m, m)
+    d = (d / m + 1.0) * 0.5
+
+    return jnp.concatenate([rgb, d[..., None], nor], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("fx", "fy", "m", "out_size"))
+def sample_patches(colors: jnp.ndarray, depths: jnp.ndarray,
+                   normals: jnp.ndarray, centers_x: jnp.ndarray,
+                   centers_y: jnp.ndarray, zs: jnp.ndarray,
+                   fx: float, fy: float, m: float = METRIC_CROP,
+                   out_size: int = PATCH_SIZE) -> jnp.ndarray:
+    """Batched patch extraction: leading axis over frames."""
+    fn = lambda c, d, n, x, y, z: sample_patch(
+        c, d, n, x, y, z, fx=fx, fy=fy, m=m, out_size=out_size)
+    return jax.vmap(fn)(colors, depths, normals, centers_x, centers_y, zs)

