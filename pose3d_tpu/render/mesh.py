@@ -103,7 +103,7 @@ def _load_ply(path: str) -> Mesh:
             if tok[1] == "list":
                 elements[-1][2].append(("list", tok[2], tok[3], tok[4]))
             else:
-                elements[-1][2].append((tok[1], tok[2]))
+                elements[-1][2].append((tok[2], tok[1]))  # (name, type)
 
     verts = None
     cols = None
