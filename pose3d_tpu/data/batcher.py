@@ -1,0 +1,162 @@
+"""On-device triplet batch assembly — the producer-thread pool, deleted.
+
+The reference builds each batch on the CPU: a pool of threads assembles 60
+five-sample groups per iteration, copying 2.4 MB float vectors through a
+mutex-guarded queue into the Caffe input blob (reference
+src/networksolver.cpp:12-50, 52-186, 315-323, 341-350).  Here the whole
+thing is index arithmetic inside the jitted train step: the training and
+template sets are device-resident, triplet selection is vectorized PRNG +
+gathers, and the anchors' background fill fuses right in.  No host round
+trip per step, no queue, no copies.
+
+Selection semantics (buildBatch, reference src/networksolver.cpp:52-186):
+  anchor   = training[obj, pose] with linearId = iter*G + g,
+             obj = linearId % nr_objects, pose = linearId / nr_objects;
+  puller   = most similar template (maxSimTmpl[...][0]);
+  pusher0  = random template: elevation-gated for rotInv objects (re-draw
+             until |elev - elev(puller)| >= 0.2, here an exact masked-Gumbel
+             draw), plain != puller otherwise; OVERRIDDEN by a random hard
+             negative when ``negs_<model>.h5`` exists (:96-101);
+  pusher1  = random same-class template.  (The reference's re-roll condition
+             ``pusher1 == puller && pusher1 == pusher0`` is a logical-AND
+             that almost never fires, i.e. effectively unconstrained — we
+             reproduce the *effective* uniform behavior, per SURVEY §7's
+             known-quirks note.)  Under bootstrapping: the misclassified
+             kNN template when there is one (:103-129);
+  pusher2  = random template of another class; under bootstrapping the
+             second misclassified kNN entry when recorded (:131-143).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.data.augment import random_fill
+from pose3d_tpu.data.dataset import DeviceData
+
+TRIPLET_SIZE = 5
+
+
+def _uniform_except(key: jax.Array, n: int, excl: jnp.ndarray) -> jnp.ndarray:
+    """Uniform int in [0, n) \\ {excl}, exactly (draw in [0, n-1), shift)."""
+    r = jax.random.randint(key, excl.shape, 0, n - 1)
+    return r + (r >= excl)
+
+
+def _masked_uniform(key: jax.Array, mask: jnp.ndarray) -> jnp.ndarray:
+    """Exact uniform draw over the True entries of ``mask`` [..., T] via
+    Gumbel-max; falls back to plain uniform when the mask is empty."""
+    g = jax.random.gumbel(key, mask.shape)
+    score = jnp.where(mask, g, -jnp.inf)
+    idx = jnp.argmax(score, axis=-1)
+    any_ok = jnp.any(mask, axis=-1)
+    fallback = jax.random.randint(key, idx.shape, 0, mask.shape[-1])
+    return jnp.where(any_ok, idx, fallback)
+
+
+def batch_indices(key: jax.Array, it: jnp.ndarray, groups: int,
+                  data: DeviceData,
+                  bootstrapping: bool = False,
+                  knn_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                  ) -> dict:
+    """Compute all triplet indices for iteration ``it``.
+
+    Returns a dict of int32 arrays [G]: obj, pose, puller, pusher0 (+
+    pusher0_is_neg, neg_idx), pusher1_obj/pose, pusher2_obj/pose.
+    ``knn_tables`` = (maxSimKNN [O, Ntr, 4], has_second [O, Ntr] bool) from
+    the bootstrap kNN pass (train/solver.py).
+    """
+    O = data.nr_objects
+    Ntr = data.nr_training_poses
+    T = data.nr_template_poses
+
+    linear = it * groups + jnp.arange(groups)
+    obj = (linear % O).astype(jnp.int32)
+    pose = ((linear // O) % Ntr).astype(jnp.int32)
+
+    puller = data.max_sim_tmpl[obj, pose, 0]
+    rot = data.rot_inv[obj] != 0
+
+    ks = jax.random.split(key, 8)
+
+    # pusher0: elevation-gated or != puller
+    elev_mask = data.elev_ok[obj, puller]                   # [G, T]
+    p0_rot = _masked_uniform(ks[0], elev_mask)
+    p0_plain = _uniform_except(ks[0], T, puller)
+    pusher0 = jnp.where(rot, p0_rot, p0_plain)
+
+    # hard-negative override
+    has_neg = data.hard_neg_count[obj] > 0
+    neg_idx = jax.random.randint(
+        ks[1], obj.shape, 0, jnp.maximum(data.hard_neg_count[obj], 1))
+
+    # pusher1: same class
+    p1_rot = _masked_uniform(ks[2], data.elev_ok[obj, puller])
+    p1_plain = jax.random.randint(ks[2], obj.shape, 0, T)
+    pusher1_pose = jnp.where(rot, p1_rot, p1_plain)
+    pusher1_obj = obj
+
+    # pusher2: other class
+    p2_obj = _uniform_except(ks[3], O, obj)
+    p2_pose = jax.random.randint(ks[4], obj.shape, 0, T)
+
+    if bootstrapping:
+        if knn_tables is None:
+            raise ValueError("bootstrapping requires knn_tables")
+        knn, has_second = knn_tables
+        knn_obj = knn[obj, pose, 0]
+        knn_pose = knn[obj, pose, 1]
+        missed = (knn_obj != obj) | (knn_pose != puller)
+        pusher1_obj = jnp.where(missed, knn_obj, pusher1_obj)
+        pusher1_pose = jnp.where(missed, knn_pose, pusher1_pose)
+        use2 = missed & has_second[obj, pose]
+        p2_obj = jnp.where(use2, knn[obj, pose, 2], p2_obj)
+        p2_pose = jnp.where(use2, knn[obj, pose, 3], p2_pose)
+
+    return dict(obj=obj, pose=pose, puller=puller, pusher0=pusher0,
+                pusher0_is_neg=has_neg, neg_idx=neg_idx,
+                pusher1_obj=pusher1_obj, pusher1_pose=pusher1_pose,
+                pusher2_obj=p2_obj, pusher2_pose=p2_pose)
+
+
+@partial(jax.jit, static_argnames=("groups", "bootstrapping",
+                                   "random_background"))
+def build_batch(key: jax.Array, it: jnp.ndarray, groups: int,
+                data: DeviceData, random_background: int = 0,
+                bg_bank: Optional[jnp.ndarray] = None,
+                bootstrapping: bool = False,
+                knn_tables=None) -> jnp.ndarray:
+    """Assemble one training batch [groups * 5, 64, 64, 7] on device.
+
+    Group layout (anchor, puller, pusher0, pusher1, pusher2) — the exact
+    emission order of the reference batch builder (:173-178), which the
+    loss reshapes by.
+    """
+    kidx, kfill = jax.random.split(key)
+    ix = batch_indices(kidx, it, groups, data, bootstrapping, knn_tables)
+
+    anchor = data.train_patches[ix["obj"], ix["pose"]]
+    puller = data.tmpl_patches[ix["obj"], ix["puller"]]
+    pusher0 = data.tmpl_patches[ix["obj"], ix["pusher0"]]
+    negs = data.hard_negs[ix["obj"], ix["neg_idx"]]
+    pusher0 = jnp.where(ix["pusher0_is_neg"][:, None, None, None],
+                        negs, pusher0)
+    pusher1 = data.tmpl_patches[ix["pusher1_obj"], ix["pusher1_pose"]]
+    pusher2 = data.tmpl_patches[ix["pusher2_obj"], ix["pusher2_pose"]]
+
+    if random_background != 0:
+        anchor = random_fill(kfill, anchor, random_background, bg_bank)
+
+    batch = jnp.stack([anchor, puller, pusher0, pusher1, pusher2], axis=1)
+    return batch.reshape(groups * TRIPLET_SIZE, *anchor.shape[1:])
+
+
+def epoch_iters(data: DeviceData, batch_size: int) -> int:
+    """epoch_iter = nr_objects * nr_training_poses / groups (reference
+    src/networksolver.cpp:297-298)."""
+    groups = batch_size // TRIPLET_SIZE
+    return max(1, (data.nr_objects * data.nr_training_poses) // groups)

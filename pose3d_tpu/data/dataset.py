@@ -1,0 +1,415 @@
+"""Dataset orchestration: generation, caching, splits, similarity tables.
+
+The TPU-native ``datasetManager`` (reference include/datasetmanager.h:34-89,
+src/datasetmanager.cpp:539-800).  Host code orchestrates file I/O and
+assembles *device-resident* sample tensors; every O(N*M) pose search the
+reference runs as scalar CPU loops is a one-shot XLA top-k program.
+
+Pipeline (generateDatasets, reference :603-685):
+  1. per model with missing caches: load mesh -> load benchmark -> extract
+     real samples -> render synthetic templates/training views -> write the
+     three HDF5 caches (byte-compatible, data/hdf5cache.py);
+  2. read caches; assign each real sample to its nearest template by
+     quaternion angular distance; split each template bucket ceil-half into
+     train (if use_real), rest into test (:631-660);
+  3. load LineMOD hard negatives (negs_<m>.h5) when present (:666-667);
+  4. crop all per-object sets to the global minimum count and shuffle
+     (:670-680);
+  5. top-2 most-similar-template table (inplane: quaternion distance; else
+     translation dot) (:683-684).
+
+Synthetic views (createSynthSamplesWadim, reference :498-537): icosphere
+subdiv 2 for templates / 3 for training, scale 0.4 m, in-plane -45..45
+step 15 when ``inplane``; rendering happens in a clipped window of the
+metric 0.2 m crop (+ a 4 px border for the normal neighborhood) instead of
+the full 640x480 frame — the patch content is identical because the patch
+sampler never reads outside that window when the object is at the principal
+point.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.config import Config
+from pose3d_tpu.data import hdf5cache
+from pose3d_tpu.data.benchmarks import Benchmark, load_benchmark
+from pose3d_tpu.ops import quaternion as Q
+from pose3d_tpu.ops.geometry import depth2normals
+from pose3d_tpu.ops.patch import sample_patch, sample_patches
+from pose3d_tpu.ops.sphere import create_view_poses, elaz_sphere
+from pose3d_tpu.render.mesh import Mesh, load_mesh
+from pose3d_tpu.render.rasterizer import render_view
+
+log = logging.getLogger(__name__)
+
+ELEV_GATE = 0.2   # rad; rotInv pusher elevation constraint
+                  # (reference src/networksolver.cpp:84)
+
+
+@dataclass
+class SampleSet:
+    patches: np.ndarray    # [N, 64, 64, 7] float32
+    labels: np.ndarray     # [N, 8] float32
+
+    def __len__(self):
+        return len(self.patches)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["train_patches", "train_labels", "tmpl_patches",
+                      "tmpl_labels", "test_patches", "test_labels",
+                      "max_sim_tmpl", "rot_inv", "elev_ok", "hard_negs",
+                      "hard_neg_count"],
+         meta_fields=[])
+@dataclass
+class DeviceData:
+    """Everything the jitted train/eval programs need, resident on device."""
+    train_patches: jnp.ndarray       # [O, Ntr, 64, 64, 7]
+    train_labels: jnp.ndarray        # [O, Ntr, 8]
+    tmpl_patches: jnp.ndarray        # [O, T, 64, 64, 7]
+    tmpl_labels: jnp.ndarray         # [O, T, 8]
+    test_patches: jnp.ndarray        # [O, Nte, 64, 64, 7]
+    test_labels: jnp.ndarray         # [O, Nte, 8]
+    max_sim_tmpl: jnp.ndarray        # [O, Ntr, 2] int32
+    rot_inv: jnp.ndarray             # [O] int32
+    elev_ok: jnp.ndarray             # [O, T, T] bool: |elev_i - elev_j| >= 0.2
+    hard_negs: jnp.ndarray           # [O, M, 64, 64, 7] (M may be 0)
+    hard_neg_count: jnp.ndarray      # [O] int32
+
+    @property
+    def nr_objects(self) -> int:
+        return self.train_patches.shape[0]
+
+    @property
+    def nr_training_poses(self) -> int:
+        return self.train_patches.shape[1]
+
+    @property
+    def nr_template_poses(self) -> int:
+        return self.tmpl_patches.shape[1]
+
+
+def pose_to_label(class_idx: int, pose: np.ndarray) -> np.ndarray:
+    q = np.asarray(Q.quat_from_matrix(jnp.asarray(pose[:3, :3])))
+    inv_t = -(pose[:3, :3].T @ pose[:3, 3])
+    return hdf5cache.make_label(class_idx, q, inv_t)
+
+
+def extract_real_samples(bench: Benchmark, class_idx: int,
+                         model_centroid: Optional[np.ndarray],
+                         dataset_name: str, chunk: int = 16) -> SampleSet:
+    """extractRealSamplesPaul (reference src/datasetmanager.cpp:348-379):
+    patch center = projected object centroid, z = centroid depth."""
+    cam = bench.cam
+    fx, fy = float(cam[0, 0]), float(cam[1, 1])
+
+    patches = []
+    labels = []
+    for start in range(0, len(bench.frames), chunk):
+        frames = bench.frames[start:start + chunk]
+        cols = np.stack([f.color.astype(np.float32) for f in frames])
+        deps = np.stack([f.depth for f in frames])
+        cxs, cys, zs = [], [], []
+        for f in frames:
+            if dataset_name == "BigBIRD" and model_centroid is not None:
+                centroid = f.pose[:3, :3] @ model_centroid + f.pose[:3, 3]
+            else:
+                centroid = f.pose[:3, 3]
+            proj = cam @ centroid
+            cxs.append(proj[0] / proj[2])
+            cys.append(proj[1] / proj[2])
+            zs.append(centroid[2])
+            labels.append(pose_to_label(class_idx, f.pose))
+        nors = jax.vmap(lambda d: depth2normals(d, fx, fy))(jnp.asarray(deps))
+        batch = sample_patches(jnp.asarray(cols), jnp.asarray(deps), nors,
+                               jnp.asarray(cxs, jnp.float32),
+                               jnp.asarray(cys, jnp.float32),
+                               jnp.asarray(zs, jnp.float32), fx=fx, fy=fy)
+        patches.append(np.asarray(batch))
+    return SampleSet(np.concatenate(patches), np.stack(labels))
+
+
+def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
+                         subdiv: int, inplane: bool,
+                         scale_z: float = 0.4) -> SampleSet:
+    """createSynthSamplesWadim (reference src/datasetmanager.cpp:498-537),
+    rendering each view only inside the metric-crop window."""
+    rots = (-45.0, 15.0, 45.0) if inplane else (0.0, 15.0, 10.0)
+    poses, _ = create_view_poses(subdiv, (scale_z, 1.1, 1.0), rots, True)
+
+    fx, fy = float(cam[0, 0]), float(cam[1, 1])
+    ox, oy = float(cam[0, 2]), float(cam[1, 2])
+    m = 0.2
+    border = 4
+    sw = int(fx * m / scale_z) + 2 * border
+    sh = int(fy * m / scale_z) + 2 * border
+    x0 = int(ox) - sw // 2
+    y0 = int(oy) - sh // 2
+
+    patches = _render_patches(mesh, cam, poses, sw, sh, x0, y0,
+                              ox, oy, scale_z)
+    labels = [pose_to_label(class_idx, T) for T in poses]
+    return SampleSet(patches, np.stack(labels))
+
+
+def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
+                    sw: int, sh: int, x0: int, y0: int,
+                    ox: float, oy: float, z: float,
+                    views_per_call: int = 32) -> np.ndarray:
+    """Render -> normals -> patch for a pose batch, staying on device:
+    one jitted lax.map per chunk of views instead of a dispatch per view."""
+    fx, fy = float(cam[0, 0]), float(cam[1, 1])
+    verts = jnp.asarray(mesh.vertices)
+    faces = jnp.asarray(mesh.faces)
+    colors = jnp.asarray(mesh.colors)
+    K = jnp.asarray(cam)
+
+    @jax.jit
+    def render_chunk(pose_chunk):
+        def one(pose):
+            col, dep = render_view(verts, faces, colors, pose, K,
+                                   width=sw, height=sh, x0=x0, y0=y0)
+            nor = depth2normals(dep, fx, fy)
+            # window-local center coordinates
+            return sample_patch(col * 255.0, dep, nor,
+                                jnp.float32(ox - x0), jnp.float32(oy - y0),
+                                jnp.float32(z), fx=fx, fy=fy)
+        return jax.lax.map(one, pose_chunk)
+
+    out = []
+    V = len(poses)
+    for s in range(0, V, views_per_call):
+        chunk = poses[s:s + views_per_call]
+        pad = views_per_call - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.tile(chunk[-1:], (pad, 1, 1))])
+        res = np.asarray(render_chunk(jnp.asarray(chunk)))
+        out.append(res[:views_per_call - pad])
+    return np.concatenate(out)
+
+
+def create_synth_samples_paul(mesh: Mesh, cam: np.ndarray, class_idx: int,
+                              dataset_path: str,
+                              dataset_name: str) -> SampleSet:
+    """createSynthSamplesPaul (reference src/datasetmanager.cpp:425-496):
+    1542 el/az camera positions from paul/camPositionsElAz.txt."""
+    elaz = np.loadtxt(os.path.join(dataset_path, "paul",
+                                   "camPositionsElAz.txt"),
+                      dtype=np.float64).reshape(-1, 2)
+    z = 0.72 if dataset_name == "BigBIRD" else 0.4
+
+    def rot_x(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    def rot_z(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    cam0 = rot_x(np.pi / 2)
+    poses = []
+    for el, az in elaz:
+        R = cam0 @ (rot_x(el) @ rot_z(-az))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R.astype(np.float32)
+        T[:3, 3] = [0.0, 0.0, z]
+        if dataset_name == "BigBIRD":
+            # shift the orbit center to the model centroid (reference :468-472)
+            Ti = np.linalg.inv(T)
+            Ti[:3, 3] += mesh.centroid
+            T = np.linalg.inv(Ti).astype(np.float32)
+        poses.append(T)
+
+    fx, fy = float(cam[0, 0]), float(cam[1, 1])
+    ox, oy = float(cam[0, 2]), float(cam[1, 2])
+    sw = int(fx * 0.2 / z) + 8
+    sh = int(fy * 0.2 / z) + 8
+    x0, y0 = int(ox) - sw // 2, int(oy) - sh // 2
+
+    patches = _render_patches(mesh, cam, np.stack(poses), sw, sh, x0, y0,
+                              ox, oy, z)
+    labels = [pose_to_label(class_idx, T) for T in poses]
+    return SampleSet(patches, np.stack(labels))
+
+
+class DatasetManager:
+    """Orchestrates dataset preparation and owns the device-resident sets."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.training_set: List[SampleSet] = []
+        self.template_set: List[SampleSet] = []
+        self.test_set: List[SampleSet] = []
+        self.hard_negatives: Dict[str, SampleSet] = {}
+
+    # ---------------------------------------------------------- generation
+    def _load_model(self, name: str) -> Mesh:
+        for ext in (".ply", ".obj"):
+            p = os.path.join(self.cfg.dataset_path, name + ext)
+            if os.path.exists(p):
+                return load_mesh(p)
+        raise FileNotFoundError(f"No model found for {name}")
+
+    def generate_and_store_samples(self) -> None:
+        cfg = self.cfg
+        for model_name in cfg.used_models:
+            if hdf5cache.caches_exist(cfg.hdf5_path, model_name):
+                continue
+            log.info("creating samples and patches for %s", model_name)
+            mesh = self._load_model(model_name)
+            bench = load_benchmark(cfg.dataset_name, cfg.dataset_path,
+                                   model_name)
+            idx = cfg.model_index[model_name]
+
+            real = extract_real_samples(bench, idx, mesh.centroid,
+                                        cfg.dataset_name)
+            real_p, synth_p, tmpl_p = hdf5cache.cache_paths(cfg.hdf5_path,
+                                                            model_name)
+            hdf5cache.write_samples(real_p, real.patches, real.labels)
+
+            if cfg.use_simulated:
+                raise NotImplementedError(
+                    "simulated (Benjamin) sample import is not wired; "
+                    "see reference src/datasetmanager.cpp:220-296")
+            if cfg.inplane:
+                templates = create_synth_samples(mesh, bench.cam, idx, 2,
+                                                 True)
+                synth = create_synth_samples(mesh, bench.cam, idx, 3, True)
+            else:
+                allp = create_synth_samples_paul(mesh, bench.cam, idx,
+                                                 cfg.dataset_path,
+                                                 cfg.dataset_name)
+                templates = SampleSet(allp.patches[:301], allp.labels[:301])
+                synth = SampleSet(allp.patches[302:], allp.labels[302:])
+            hdf5cache.write_samples(tmpl_p, templates.patches,
+                                    templates.labels)
+            hdf5cache.write_samples(synth_p, synth.patches, synth.labels)
+
+    # ------------------------------------------------------------- loading
+    def generate_datasets(self, rng: Optional[np.random.Generator] = None
+                          ) -> None:
+        cfg = self.cfg
+        rng = rng or np.random.default_rng(cfg.seed)
+        self.generate_and_store_samples()
+
+        self.training_set, self.template_set, self.test_set = [], [], []
+        for seq in cfg.used_models:
+            real_p, synth_p, tmpl_p = hdf5cache.cache_paths(cfg.hdf5_path,
+                                                            seq)
+            real = SampleSet(*hdf5cache.read_samples(real_p))
+            synth = SampleSet(*hdf5cache.read_samples(synth_p))
+            tmpl = SampleSet(*hdf5cache.read_samples(tmpl_p))
+            self.template_set.append(tmpl)
+
+            # nearest template per real sample (quat argmin, one matmul)
+            if len(real):
+                nearest = np.asarray(Q.nearest_template(
+                    jnp.asarray(real.labels[:, 1:5]),
+                    jnp.asarray(tmpl.labels[:, 1:5])))
+            else:
+                nearest = np.zeros((0,), np.int32)
+
+            train_p = [synth.patches]
+            train_l = [synth.labels]
+            test_p, test_l = [], []
+            for t in range(len(tmpl)):
+                bucket = np.nonzero(nearest == t)[0]
+                if len(bucket) == 0:
+                    continue
+                half = int(np.ceil(len(bucket) / 2.0))
+                if cfg.use_real:
+                    train_p.append(real.patches[bucket[:half]])
+                    train_l.append(real.labels[bucket[:half]])
+                test_p.append(real.patches[bucket[half:]])
+                test_l.append(real.labels[bucket[half:]])
+            self.training_set.append(SampleSet(
+                np.concatenate(train_p), np.concatenate(train_l)))
+            if test_p:
+                self.test_set.append(SampleSet(
+                    np.concatenate(test_p), np.concatenate(test_l)))
+            else:
+                self.test_set.append(SampleSet(
+                    np.zeros((0, 64, 64, 7), np.float32),
+                    np.zeros((0, 8), np.float32)))
+
+        if cfg.dataset_name == "LineMOD":
+            self._load_hard_negatives()
+
+        # crop to common minimum and shuffle (reference :670-680)
+        min_tr = min(len(s) for s in self.training_set)
+        min_te = min(len(s) for s in self.test_set)
+        for i in range(len(self.training_set)):
+            perm = rng.permutation(len(self.training_set[i]))[:min_tr]
+            s = self.training_set[i]
+            self.training_set[i] = SampleSet(s.patches[perm], s.labels[perm])
+            s = self.test_set[i]
+            perm = rng.permutation(len(s))[:min_te]
+            self.test_set[i] = SampleSet(s.patches[perm], s.labels[perm])
+
+    def _load_hard_negatives(self) -> None:
+        for seq in self.cfg.used_models:
+            p = os.path.join(self.cfg.hdf5_path, f"negs_{seq}.h5")
+            if os.path.exists(p):
+                self.hard_negatives[seq] = SampleSet(
+                    *hdf5cache.read_samples(p))
+            else:
+                log.warning("%s not found!", p)
+
+    # ----------------------------------------------------- device assembly
+    def to_device(self) -> DeviceData:
+        cfg = self.cfg
+        train_p = jnp.asarray(np.stack([s.patches for s in self.training_set]))
+        train_l = jnp.asarray(np.stack([s.labels for s in self.training_set]))
+        tmpl_p = jnp.asarray(np.stack([s.patches for s in self.template_set]))
+        tmpl_l = jnp.asarray(np.stack([s.labels for s in self.template_set]))
+        test_p = jnp.asarray(np.stack([s.patches for s in self.test_set]))
+        test_l = jnp.asarray(np.stack([s.labels for s in self.test_set]))
+
+        # top-2 similar templates, per object (one-shot XLA programs)
+        sims = []
+        for o in range(train_l.shape[0]):
+            if cfg.inplane:
+                sims.append(Q.top2_similar_templates(train_l[o, :, 1:5],
+                                                     tmpl_l[o, :, 1:5]))
+            else:
+                sims.append(Q.top2_similar_templates_trans(
+                    train_l[o, :, 5:8], tmpl_l[o, :, 5:8]))
+        max_sim = jnp.stack(sims)
+
+        elev = Q.elevation(tmpl_l[..., 1:5])          # [O, T]
+        elev_ok = jnp.abs(elev[:, :, None] - elev[:, None, :]) >= ELEV_GATE
+
+        rot_inv = jnp.asarray(
+            [cfg.rot_inv[cfg.model_index[m]] for m in cfg.used_models],
+            jnp.int32)
+
+        O = train_p.shape[0]
+        counts = [len(self.hard_negatives.get(m, []))
+                  for m in cfg.used_models]
+        M = max(counts) if counts else 0
+        if M > 0:
+            negs = np.zeros((O, M, 64, 64, 7), np.float32)
+            for o, m in enumerate(cfg.used_models):
+                if m in self.hard_negatives:
+                    hn = self.hard_negatives[m].patches
+                    negs[o, :len(hn)] = hn
+            hard = jnp.asarray(negs)
+        else:
+            hard = jnp.zeros((O, 1, 64, 64, 7), jnp.float32)
+        return DeviceData(
+            train_patches=train_p, train_labels=train_l,
+            tmpl_patches=tmpl_p, tmpl_labels=tmpl_l,
+            test_patches=test_p, test_labels=test_l,
+            max_sim_tmpl=max_sim, rot_inv=rot_inv, elev_ok=elev_ok,
+            hard_negs=hard,
+            hard_neg_count=jnp.asarray(counts, jnp.int32))

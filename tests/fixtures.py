@@ -1,0 +1,106 @@
+"""Hermetic dataset fixture: a procedural-mesh 'benchmark' rendered with our
+own rasterizer stands in for LineMOD frames — the integration-test strategy
+from SURVEY.md §4 (no dataset download)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pose3d_tpu.config import Config
+from pose3d_tpu.data.benchmarks import Benchmark, Frame
+from pose3d_tpu.ops.sphere import create_view_poses
+from pose3d_tpu.render import make_test_mesh
+from pose3d_tpu.render.rasterizer import render_view
+
+# small intrinsics/images keep CPU tests fast
+FIX_K = np.array([[120.0, 0.0, 80.0],
+                  [0.0, 120.0, 60.0],
+                  [0.0, 0.0, 1.0]], np.float32)
+FIX_W, FIX_H = 160, 120
+
+
+def synthetic_benchmark(mesh, n_frames=12, z=0.45, seed=0) -> Benchmark:
+    """Render the mesh from n_frames poses and package as 'real' frames."""
+    poses, _ = create_view_poses(1, (z, 1.1, z), (0.0, 37.0, float(n_frames)
+                                                  * 37.0 - 1), True)
+    poses = poses[:n_frames]
+    bench = Benchmark(cam=FIX_K.copy())
+    for i, T in enumerate(poses):
+        col, dep = render_view(jnp.asarray(mesh.vertices),
+                               jnp.asarray(mesh.faces),
+                               jnp.asarray(mesh.colors),
+                               jnp.asarray(T), jnp.asarray(FIX_K),
+                               width=FIX_W, height=FIX_H, face_chunk=16)
+        color = (np.asarray(col) * 255).astype(np.uint8)
+        bench.frames.append(Frame(i, color, np.asarray(dep),
+                                  T.astype(np.float32)))
+    return bench
+
+
+def make_fixture_config(tmp_path, models=("cube", "tetra"), **overrides):
+    defaults = dict(
+        dataset_path=str(tmp_path) + "/",
+        hdf5_path=str(tmp_path) + "/h5/",
+        output_path=str(tmp_path) + "/out/",
+        dataset_name="LineMOD",
+        models=list(models),
+        used_models=list(models),
+        rot_inv=[0] * len(models),
+        inplane=True,
+        use_real=True,
+        random_background=1,
+        net_name="manifold_rgbd_16",
+        num_epochs=1,
+        num_training_rounds=1,
+        batch_size=20,
+    )
+    defaults.update(overrides)
+    return Config(**defaults)
+
+
+_REAL_CREATE = None
+
+
+def build_fixture_manager(tmp_path, monkeypatch, models=("cube", "tetra"),
+                          subdiv_tmpl=0, **overrides):
+    """A DatasetManager wired to procedural meshes and synthetic frames,
+    with small spheres for speed (subdiv 0 -> 12 verts)."""
+    global _REAL_CREATE
+    from pose3d_tpu.data import dataset as ds
+
+    cfg = make_fixture_config(tmp_path, models, **overrides)
+    meshes = {m: make_test_mesh(m, 0.1) for m in models}
+
+    monkeypatch.setattr(
+        ds, "load_benchmark",
+        lambda name, root, seq, count=-1: synthetic_benchmark(meshes[seq]))
+    monkeypatch.setattr(
+        ds.DatasetManager, "_load_model",
+        lambda self, name: meshes[name])
+
+    if _REAL_CREATE is None:
+        _REAL_CREATE = ds.create_synth_samples
+    real_create = _REAL_CREATE
+
+    def small_synth(mesh, cam, idx, subdiv, inplane, scale_z=0.45):
+        # subdiv 2/3 -> 0/1 to keep the fixture quick; scale matches frames
+        return real_create(mesh, cam, idx, subdiv - 2 + subdiv_tmpl,
+                           inplane, scale_z=scale_z)
+
+    monkeypatch.setattr(ds, "create_synth_samples", small_synth)
+    return ds.DatasetManager(cfg), cfg
+
+
+_DB_CACHE = {}
+
+
+def fixture_db(tmp_path_factory_or_path, monkeypatch):
+    """Session-cached generated dataset: generation compiles several XLA
+    programs, so build it once and reuse (tests treat it as read-only)."""
+    if "db" not in _DB_CACHE:
+        import tempfile
+        base = tempfile.mkdtemp(prefix="p3d_fix_")
+        from pathlib import Path
+        db, cfg = build_fixture_manager(Path(base), monkeypatch)
+        db.generate_datasets()
+        _DB_CACHE["db"] = (db, cfg)
+    return _DB_CACHE["db"]

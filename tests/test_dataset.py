@@ -1,0 +1,132 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.data import hdf5cache
+from pose3d_tpu.data.batcher import TRIPLET_SIZE, build_batch, epoch_iters
+
+from fixtures import build_fixture_manager
+
+
+def test_hdf5_cache_reference_layout(tmp_path):
+    rng = np.random.default_rng(0)
+    patches = rng.random((5, 64, 64, 7)).astype(np.float32)
+    labels = rng.random((5, 8)).astype(np.float32)
+    p = str(tmp_path / "samples.h5")
+    hdf5cache.write_samples(p, patches, labels)
+
+    # on-disk contract: CHW datasets named data/label
+    import h5py
+    with h5py.File(p, "r") as f:
+        assert f["data"].shape == (5, 7, 64, 64)
+        assert f["label"].shape == (5, 8)
+        np.testing.assert_allclose(np.asarray(f["data"][0, 2]),
+                                   patches[0, :, :, 2])
+
+    rp, rl = hdf5cache.read_samples(p)
+    np.testing.assert_allclose(rp, patches)
+    np.testing.assert_allclose(rl, labels)
+
+
+def test_dataset_manager_end_to_end(tmp_path, monkeypatch):
+    from fixtures import fixture_db
+    db, cfg = fixture_db(None, monkeypatch)
+    tmp_path = __import__("pathlib").Path(cfg.hdf5_path).parent
+
+    assert len(db.training_set) == 2
+    assert len(db.template_set) == 2
+    n_tr = len(db.training_set[0])
+    assert all(len(s) == n_tr for s in db.training_set)   # cropped to min
+    n_te = len(db.test_set[0])
+    assert all(len(s) == n_te for s in db.test_set)
+    assert n_tr > 0
+
+    # caches were written with reference names and are reused on reload
+    import os
+    assert os.path.exists(os.path.join(cfg.hdf5_path, "realSamples_cube.h5"))
+    assert os.path.exists(os.path.join(cfg.hdf5_path, "templates_tetra.h5"))
+    # a fresh manager on the same cache dir skips generation entirely (no
+    # loaders/meshes needed) and reproduces the same sets
+    from pose3d_tpu.data.dataset import DatasetManager
+    db2 = DatasetManager(cfg)
+    db2.generate_datasets()
+    assert len(db2.training_set[0]) == n_tr
+
+    # labels carry the right class indices
+    assert set(np.unique(db.training_set[0].labels[:, 0])) == {0.0}
+    assert set(np.unique(db.training_set[1].labels[:, 0])) == {1.0}
+
+
+def _cached_device_data(monkeypatch):
+    from fixtures import fixture_db, _DB_CACHE
+    db, cfg = fixture_db(None, monkeypatch)
+    if "data" not in _DB_CACHE:
+        _DB_CACHE["data"] = db.to_device()
+    return _DB_CACHE["data"], cfg
+
+
+def test_device_data_and_batcher(tmp_path, monkeypatch):
+    data, cfg = _cached_device_data(monkeypatch)
+
+    O, Ntr = data.nr_objects, data.nr_training_poses
+    T = data.nr_template_poses
+    assert data.max_sim_tmpl.shape == (O, Ntr, 2)
+    assert data.elev_ok.shape == (O, T, T)
+
+    # puller is the nearest template by quaternion distance
+    from pose3d_tpu.ops import quaternion as Q
+    d = np.asarray(Q.pairwise_angular_distance(
+        data.train_labels[0, :, 1:5], data.tmpl_labels[0, :, 1:5]))
+    np.testing.assert_array_equal(np.asarray(data.max_sim_tmpl[0, :, 0]),
+                                  d.argmin(axis=1))
+
+    groups = cfg.batch_size // TRIPLET_SIZE
+    batch = build_batch(jax.random.key(0), jnp.int32(0), groups, data,
+                        random_background=cfg.random_background)
+    assert batch.shape == (cfg.batch_size, 64, 64, 7)
+    b = np.asarray(batch).reshape(groups, TRIPLET_SIZE, 64, 64, 7)
+
+    # group g anchors object g % O, pose g // O (reference linearId scheme)
+    for g in range(groups):
+        obj, pose = g % O, (g // O) % Ntr
+        puller_idx = int(data.max_sim_tmpl[obj, pose, 0])
+        np.testing.assert_allclose(
+            b[g, 1], np.asarray(data.tmpl_patches[obj, puller_idx]))
+
+    assert epoch_iters(data, cfg.batch_size) == max(1, O * Ntr // groups)
+
+
+def test_batcher_pusher2_other_class(tmp_path, monkeypatch):
+    data, cfg = _cached_device_data(monkeypatch)
+    from pose3d_tpu.data.batcher import batch_indices
+    ix = batch_indices(jax.random.key(1), jnp.int32(0), 10, data)
+    obj = np.asarray(ix["obj"])
+    p2 = np.asarray(ix["pusher2_obj"])
+    assert (p2 != obj).all()
+    p0 = np.asarray(ix["pusher0"])
+    pull = np.asarray(ix["puller"])
+    assert (p0 != pull).all()      # non-rotInv: pusher0 != puller
+
+
+def test_batcher_bootstrapping_tables(tmp_path, monkeypatch):
+    data, cfg = _cached_device_data(monkeypatch)
+    from pose3d_tpu.data.batcher import batch_indices
+    O, Ntr = data.nr_objects, data.nr_training_poses
+    # fabricate kNN tables: everything 'misclassified' to template 1 of the
+    # other object, second entry valid
+    knn = np.zeros((O, Ntr, 4), np.int32)
+    knn[..., 0] = 1 - np.arange(O)[:, None]    # wrong object
+    knn[..., 1] = 1
+    knn[..., 2] = 1 - np.arange(O)[:, None]
+    knn[..., 3] = 2
+    has2 = np.ones((O, Ntr), bool)
+    ix = batch_indices(jax.random.key(2), jnp.int32(0), 8, data,
+                       bootstrapping=True,
+                       knn_tables=(jnp.asarray(knn), jnp.asarray(has2)))
+    obj = np.asarray(ix["obj"])
+    np.testing.assert_array_equal(np.asarray(ix["pusher1_obj"]), 1 - obj)
+    np.testing.assert_array_equal(np.asarray(ix["pusher1_pose"]),
+                                  np.ones_like(obj))
+    np.testing.assert_array_equal(np.asarray(ix["pusher2_obj"]), 1 - obj)
+    np.testing.assert_array_equal(np.asarray(ix["pusher2_pose"]),
+                                  np.full_like(obj, 2))
