@@ -1,0 +1,94 @@
+"""Benchmark: LineMOD descriptor throughput on the flagship net.
+
+Primary metric (BASELINE.md): descriptor patches/sec/chip through
+manifold_rgbd_16 — the operation both training (forward half) and
+evaluation/kNN are built from.  ``vs_baseline`` compares against the same
+program on one host CPU, standing in for the reference's CPU-mode Caffe
+forward (the reference publishes no numbers and runs with gpu=false,
+reference config.ini:19; north star is >=10x CPU e2e).
+
+Prints ONE JSON line; extra detail goes to stderr.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _measure(batch: int, iters: int, warmup: int = 0) -> float:
+    """Forward throughput by the delta method.
+
+    The TPU here sits behind a tunnel whose host<->device syncs can stall for
+    seconds-to-minutes, so (a) all data is generated ON device — no uploads —
+    and (b) we time a jitted chain of n dependent forwards ending in one
+    scalar fetch, for n=1 and n=iters, and divide by the difference: the
+    (unpredictable) fetch latency cancels.
+    """
+    from pose3d_tpu.models import NETWORKS, init_params
+    from pose3d_tpu.models.manifold import descriptor_fn
+
+    spec = NETWORKS["manifold_rgbd_16"]
+    f = descriptor_fn(spec)
+    params = init_params(jax.random.key(0), spec)
+    x = jax.random.uniform(jax.random.key(1), (batch, 64, 64, 7))
+
+    @jax.jit
+    def chain(params, x, n):
+        def body(_, carry):
+            d = f(params, carry)
+            # data dependence between iterations prevents overlap/elision
+            return carry * (1.0 + 1e-12 * jnp.mean(d))
+        out = jax.lax.fori_loop(0, n, body, x)
+        return jnp.sum(f(params, out))
+
+    float(chain(params, x, 1))                    # compile + first sync
+    t0 = time.perf_counter()
+    float(chain(params, x, 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(chain(params, x, iters + 1))
+    tn = time.perf_counter() - t0
+    per_call = max(tn - t1, 1e-9) / iters
+    return batch / per_call
+
+
+def main():
+    if "--cpu-baseline" in sys.argv:
+        # subprocess under JAX_PLATFORMS=cpu: stands in for the reference's
+        # CPU-mode Caffe forward
+        print(json.dumps({"cpu_pps": _measure(256, iters=4)}))
+        return
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+    tpu_pps = _measure(1024, iters=64)
+    print(f"descriptor throughput: {tpu_pps:,.0f} patches/s", file=sys.stderr)
+
+    cpu_pps = 0.0
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
+            capture_output=True, text=True, timeout=600, env=env)
+        cpu_pps = json.loads(out.stdout.strip().splitlines()[-1])["cpu_pps"]
+        print(f"cpu baseline: {cpu_pps:,.0f} patches/s", file=sys.stderr)
+    except Exception as e:  # baseline failure must not kill the bench
+        print(f"cpu baseline failed: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "linemod_descriptor_throughput",
+        "value": round(tpu_pps, 1),
+        "unit": "patches/sec/chip",
+        "vs_baseline": round(tpu_pps / cpu_pps, 2) if cpu_pps else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -75,6 +75,10 @@ class Config:
     seed: int = 0                # jax.random root key
     data_parallel: int = 0       # 0 -> use all visible devices
     compute_dtype: str = "float32"
+    # icosphere subdivision for synthetic views (reference hardcodes 2/3,
+    # src/datasetmanager.cpp:584-586); lower values for smoke tests
+    template_subdiv: int = 2
+    training_subdiv: int = 3
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:
@@ -111,7 +115,8 @@ class Config:
 _BOOL_KEYS = {"inplane", "use_real", "use_simulated", "gpu", "binarization"}
 _INT_KEYS = {"num_epochs", "num_training_rounds", "num_bootstrapping_rounds",
              "step_size", "binarization_epochs", "random_background", "knn",
-             "log_epoch", "batch_size", "seed", "data_parallel"}
+             "log_epoch", "batch_size", "seed", "data_parallel",
+             "template_subdiv", "training_subdiv"}
 _FLOAT_KEYS = {"learning_rate", "momentum", "weight_decay", "gamma"}
 _LIST_KEYS = {"models", "used_models"}
 

@@ -282,9 +282,10 @@ class DatasetManager:
                     "simulated (Benjamin) sample import is not wired; "
                     "see reference src/datasetmanager.cpp:220-296")
             if cfg.inplane:
-                templates = create_synth_samples(mesh, bench.cam, idx, 2,
-                                                 True)
-                synth = create_synth_samples(mesh, bench.cam, idx, 3, True)
+                templates = create_synth_samples(mesh, bench.cam, idx,
+                                                 cfg.template_subdiv, True)
+                synth = create_synth_samples(mesh, bench.cam, idx,
+                                             cfg.training_subdiv, True)
             else:
                 allp = create_synth_samples_paul(mesh, bench.cam, idx,
                                                  cfg.dataset_path,

@@ -1,0 +1,289 @@
+"""Evaluation as single XLA programs + reference-format TSV logs.
+
+The reference evaluator (src/networkevaluator.cpp) runs batched Caffe
+forwards with HWC->CHW host transposes, then OpenCV brute-force kNN and
+scalar histogram loops.  Here descriptors, the L2 kNN (MXU matmul + top-k)
+and the angular-distance statistics are fused device programs; only the tiny
+final reductions and file writes run on host.
+
+Protocol parity targets:
+  * histogram bins {-1, 0, 10, 20, 40, 180} where bin0 = wrong class,
+    bin1 = exact-template match, bins 2.. are cumulative < X deg, normalized
+    by histo[0] + histo[-1], plus mean and median angular error (reference
+    computeHistogram, src/networkevaluator.cpp:248-356);
+  * per-query best neighbor = the same-class kNN entry with the smallest
+    *angular* distance (elevation-only for rotInv/symmetric classes, NaN ->
+    +inf) (:283-308);
+  * confusion matrix: class-match within top-k else top-1, row-normalized
+    by the per-object query count (:178-246);
+  * intra/inter kNN accuracy over training poses (:153-175);
+  * TSV logs: ``log<name>`` with columns mod/iter/epoch/time/<bins>/mean/
+    median (:416-486) and ``cm<name>`` (:358-414).  The epoch column keeps
+    the reference's hardcoded 60-triplets-per-batch derivation (:457) for
+    diffability.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.ops import knn as knn_ops
+from pose3d_tpu.ops import quaternion as Q
+
+HISTOGRAM_BINS = (-1.0, 0.0, 10.0, 20.0, 40.0, 180.0)
+
+
+# ------------------------------------------------------------- descriptors
+
+def compute_descriptors(apply_fn: Callable, params, patches: jnp.ndarray,
+                        batch_size: int = 512) -> jnp.ndarray:
+    """Forward all patches [N, 64, 64, 7] -> [N, D] in fixed-size jitted
+    chunks (pad + trim keeps one compiled program for any N)."""
+    N = patches.shape[0]
+    if N == 0:
+        probe = apply_fn(params, patches[:1] if len(patches) else
+                         jnp.zeros((1, 64, 64, 7)))
+        return jnp.zeros((0, probe.shape[-1]))
+
+    fn = jax.jit(apply_fn)
+    outs = []
+    for s in range(0, N, batch_size):
+        chunk = patches[s:s + batch_size]
+        pad = batch_size - chunk.shape[0]
+        if pad:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        outs.append(fn(params, chunk)[:batch_size - pad])
+    return jnp.concatenate(outs)
+
+
+def _flat(tset: jnp.ndarray) -> jnp.ndarray:
+    """[O, N, ...] -> [O*N, ...] (linearId = obj * N + idx, matching the
+    reference's DBfeats stacking order)."""
+    return tset.reshape((-1,) + tset.shape[2:])
+
+
+# ----------------------------------------------------- bootstrap kNN tables
+
+def compute_knn_tables(apply_fn, params, train_patches: jnp.ndarray,
+                       tmpl_patches: jnp.ndarray,
+                       k: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """computeKNN (reference src/networksolver.cpp:456-505): descriptors of
+    all training + template samples, kNN(k=3) of training against templates,
+    per training pose record [nn_obj, nn_pose, other_obj, other_pose].
+
+    Entry 2/3 = the first among nn 1..k-1 whose object differs from the
+    query's (reference :498-503); has_second marks rows where one exists.
+    Returns (tables [O, Ntr, 4] int32, has_second [O, Ntr] bool).
+    """
+    O, Ntr = train_patches.shape[:2]
+    T = tmpl_patches.shape[1]
+
+    dq = compute_descriptors(apply_fn, params, _flat(train_patches))
+    dt = compute_descriptors(apply_fn, params, _flat(tmpl_patches))
+    _, idx = knn_ops.knn_l2(dq, dt, k=k)           # [Q, k]
+
+    nn_obj = idx // T
+    nn_pose = idx % T
+    qobj = (jnp.arange(O * Ntr) // Ntr)[:, None]
+
+    first_obj = nn_obj[:, 0]
+    first_pose = nn_pose[:, 0]
+    diff = nn_obj[:, 1:] != qobj                   # [Q, k-1] candidates
+    any_diff = jnp.any(diff, axis=1)
+    pick = jnp.argmax(diff, axis=1) + 1            # first differing nn
+    sec_obj = jnp.take_along_axis(nn_obj, pick[:, None], axis=1)[:, 0]
+    sec_pose = jnp.take_along_axis(nn_pose, pick[:, None], axis=1)[:, 0]
+
+    tables = jnp.stack([first_obj, first_pose, sec_obj, sec_pose],
+                       axis=1).astype(jnp.int32)
+    return (tables.reshape(O, Ntr, 4),
+            any_diff.reshape(O, Ntr))
+
+
+# ---------------------------------------------------------------- histogram
+
+@partial(jax.jit, static_argnames=("k",))
+def _histogram_core(dq, dt, q_quat, t_quat, q_cls, t_cls, q_rotinv,
+                    k: int = 3):
+    """Device part of computeHistogram: for each query return
+    (best_dist_deg, best_found, exact_match)."""
+    _, idx = knn_ops.knn_l2(dq, dt, k=k)                     # [Q, k]
+
+    cand_cls = t_cls[idx]                                    # [Q, k]
+    same = cand_cls == q_cls[:, None]
+
+    # angular (or elevation) distance to each candidate
+    cand_quat = t_quat[idx]                                  # [Q, k, 4]
+    ang = Q.angular_distance(q_quat[:, None, :], cand_quat)  # [Q, k] rad
+    elev_q = Q.elevation(q_quat)
+    elev_c = Q.elevation(cand_quat.reshape(-1, 4)).reshape(ang.shape)
+    eang = jnp.abs(elev_q[:, None] - elev_c)
+    dist = jnp.where(q_rotinv[:, None] != 0, eang, ang) * (180.0 / jnp.pi)
+    dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
+    dist = jnp.where(same, dist, jnp.inf)
+
+    best_k = jnp.argmin(dist, axis=1)
+    best_dist = jnp.take_along_axis(dist, best_k[:, None], axis=1)[:, 0]
+    best_found = jnp.isfinite(best_dist)
+    best_idx = jnp.take_along_axis(idx, best_k[:, None], axis=1)[:, 0]
+
+    # exact match: no template of the best object is strictly closer in
+    # angular distance than the chosen one (reference :325-334)
+    full_ang = Q.pairwise_angular_distance(q_quat, t_quat)   # [Q, Tall] rad
+    best_obj = t_cls[best_idx]
+    block = t_cls[None, :] == best_obj[:, None]              # [Q, Tall]
+    d_best = jnp.take_along_axis(full_ang, best_idx[:, None], axis=1)[:, 0]
+    closer = jnp.any(jnp.where(block, full_ang, jnp.inf) < d_best[:, None],
+                     axis=1)
+    exact = best_found & ~closer
+    return best_dist, best_found, exact
+
+
+def compute_histogram(apply_fn, params, tmpl_patches, tmpl_labels,
+                      query_patches, query_labels,
+                      rot_inv: Sequence[int],
+                      bins: Sequence[float] = HISTOGRAM_BINS,
+                      k: int = 3) -> np.ndarray:
+    """Full protocol histogram; returns len(bins)+2 floats like the
+    reference (normalized bins + mean + median)."""
+    dq = compute_descriptors(apply_fn, params, _flat(query_patches))
+    dt = compute_descriptors(apply_fn, params, _flat(tmpl_patches))
+    ql = np.asarray(_flat(query_labels))
+    tl = np.asarray(_flat(tmpl_labels))
+
+    rot_inv = np.asarray(rot_inv, np.int32)
+    q_rot = rot_inv[ql[:, 0].astype(np.int32)]
+
+    best_dist, best_found, exact = _histogram_core(
+        dq, dt, jnp.asarray(ql[:, 1:5]), jnp.asarray(tl[:, 1:5]),
+        jnp.asarray(ql[:, 0].astype(np.int32)),
+        jnp.asarray(tl[:, 0].astype(np.int32)),
+        jnp.asarray(q_rot), k=k)
+    best_dist = np.asarray(best_dist)
+    best_found = np.asarray(best_found)
+    exact = np.asarray(exact)
+
+    histo = np.zeros(len(bins), np.float64)
+    histo[0] = np.sum(~best_found)
+    histo[1] = np.sum(exact)
+    matched = best_dist[best_found]
+    for b in range(2, len(bins)):
+        histo[b] = np.sum(matched < bins[b])
+
+    total = histo[0] + histo[-1]
+    if total > 0:
+        histo = histo / total
+    mean_angle = matched.sum() / max(len(best_dist), 1)
+    median_angle = (np.sort(matched)[(len(matched) - 1) // 2]
+                    if len(matched) else 0.0)
+    return np.concatenate([histo, [mean_angle, median_angle]])
+
+
+# --------------------------------------------------------- confusion matrix
+
+def compute_confusion_matrix(apply_fn, params, tmpl_patches, tmpl_labels,
+                             test_patches, test_labels,
+                             models: Sequence[str],
+                             local_index: dict, k: int = 3) -> np.ndarray:
+    """Row-normalized class confusion (reference :178-246): count the first
+    same-class hit within the top-k, else the top-1 neighbor."""
+    dq = compute_descriptors(apply_fn, params, _flat(test_patches))
+    dt = compute_descriptors(apply_fn, params, _flat(tmpl_patches))
+    _, idx = knn_ops.knn_l2(dq, dt, k=k)
+    idx = np.asarray(idx)
+
+    ql = np.asarray(_flat(test_labels))
+    tl = np.asarray(_flat(tmpl_labels))
+    q_cls = ql[:, 0].astype(int)
+    t_cls = tl[:, 0].astype(int)
+
+    n = len(local_index)
+    conf = np.zeros((n, n), np.float64)
+    cand_cls = t_cls[idx]                        # [Q, k]
+    same = cand_cls == q_cls[:, None]
+    hit = same.any(axis=1)
+    first = np.argmax(same, axis=1)
+    chosen = np.where(hit, cand_cls[np.arange(len(idx)), first],
+                      cand_cls[:, 0])
+    for qc, cc in zip(q_cls, chosen):
+        conf[local_index[models[qc]], local_index[models[cc]]] += 1
+    nr_test_poses = test_patches.shape[1]
+    return conf / max(nr_test_poses, 1)
+
+
+def compute_knn_accuracy(max_sim_tmpl: np.ndarray,
+                         knn_tables: np.ndarray) -> Tuple[float, float]:
+    """Intra/inter-class retrieval accuracy over training poses (reference
+    :153-175): intra = nn pose equals the pose-similarity puller; inter =
+    nn object equals the query object.  Returns percentages."""
+    sim = np.asarray(max_sim_tmpl)
+    knn = np.asarray(knn_tables)
+    O, Ntr = sim.shape[:2]
+    intra = float(np.mean(knn[..., 1] == sim[..., 0]) * 100.0)
+    inter = float(np.mean(knn[..., 0] == np.arange(O)[:, None]) * 100.0)
+    return intra, inter
+
+
+# ------------------------------------------------------------ visualization
+
+def compute_manifold(apply_fn, params, tmpl_patches) -> np.ndarray:
+    """PCA of all template descriptors to 3-D (reference computeManifold,
+    src/networkevaluator.cpp:56-90) — returns the point cloud instead of an
+    interactive viz window."""
+    d = np.asarray(compute_descriptors(apply_fn, params,
+                                       _flat(tmpl_patches)))
+    mu = d.mean(axis=0, keepdims=True)
+    c = d - mu
+    _, _, vt = np.linalg.svd(c, full_matrices=False)
+    return c @ vt[:3].T
+
+
+# -------------------------------------------------------------- TSV writers
+
+def save_log(output_path: str, log_name: str, test_hist: np.ndarray,
+             train_hist: np.ndarray, iteration: int, elapsed: float,
+             nr_models: int, nr_training_poses: int,
+             bins: Sequence[float] = HISTOGRAM_BINS) -> str:
+    """Append the two protocol rows (test + train) to ``log<log_name>``.
+
+    Column layout and the epoch derivation (hardcoded /60, reference :457)
+    match the reference so logs diff cleanly.
+    """
+    os.makedirs(output_path, exist_ok=True)
+    path = os.path.join(output_path, "log" + log_name)
+    epoch = iteration // max(nr_models * nr_training_poses // 60, 1)
+
+    write_header = not os.path.exists(path) or os.path.getsize(path) == 0
+    with open(path, "a") as f:
+        if write_header:
+            cols = ["mod", "iter", "epoch", "time"]
+            cols += [f"<{b:g}" for b in bins] + ["mean", "median"]
+            f.write("\t".join(cols) + "\n")
+        for mod, hist in (("test", test_hist), ("train", train_hist)):
+            row = [mod, str(iteration), str(epoch), f"{elapsed:g}"]
+            row += [f"{100.0 * h:.3g}" for h in hist[:len(bins)]]
+            row += [f"{hist[-2]:g}", f"{hist[-1]:g}"]
+            f.write("\t".join(row) + "\n")
+    return path
+
+
+def save_confusion_matrix(output_path: str, log_name: str,
+                          conf: np.ndarray, iteration: int) -> str:
+    """Append the row-normalized confusion matrix to ``cm<log_name>``.
+    (The reference evaluates this on the *training* set — a noted quirk,
+    src/networkevaluator.cpp:390 — callers choose the query set.)"""
+    os.makedirs(output_path, exist_ok=True)
+    path = os.path.join(output_path, "cm" + log_name)
+    with open(path, "a") as f:
+        f.write(f"iter\t{iteration}\n")
+        for row in conf:
+            f.write("\t".join(f"{x:.4g}" for x in row) + "\n")
+    return path

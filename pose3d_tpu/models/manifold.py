@@ -190,7 +190,9 @@ def apply(params: Dict, spec: NetSpec, patches: jnp.ndarray,
 
 def descriptor_fn(spec: NetSpec):
     """Returns a jittable (params, patches) -> descriptors closure."""
-    return partial(apply, spec=spec)
+    def fn(params, patches):
+        return apply(params, spec, patches)
+    return fn
 
 
 def trunk_param_names(spec: NetSpec) -> Tuple[str, ...]:

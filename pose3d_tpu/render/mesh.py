@@ -198,6 +198,28 @@ def _load_obj(path: str) -> Mesh:
                 vertex_normals(vertices, faces_a))
 
 
+def save_ply(path: str, mesh: Mesh) -> None:
+    """Binary little-endian PLY writer with per-vertex colors (equivalent of
+    the reference's savePLY, src/model.cpp:246-291)."""
+    n, f = len(mesh.vertices), len(mesh.faces)
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        f"element face {f}\n"
+        "property list uchar int vertex_indices\nend_header\n")
+    # colors stored BGR in-memory -> RGB on disk
+    rgb = np.clip(mesh.colors[:, ::-1] * 255.0, 0, 255).astype(np.uint8)
+    with open(path, "wb") as out:
+        out.write(header.encode("ascii"))
+        for i in range(n):
+            out.write(struct.pack("<3f", *mesh.vertices[i]))
+            out.write(struct.pack("<3B", *rgb[i]))
+        for i in range(f):
+            out.write(struct.pack("<B3i", 3, *mesh.faces[i]))
+
+
 def load_mesh(path: str) -> Mesh:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".ply":

@@ -1,0 +1,262 @@
+"""The training driver — ``networkSolver`` re-architected for XLA.
+
+The reference (src/networksolver.cpp:261-392) runs: producer threads build
+triplet batches on the CPU -> condvar queue -> ``input_blob->set_cpu_data``
+-> ``solver.Step(1)`` per iteration, with optional bootstrapping rounds that
+re-mine hard negatives via a full-dataset kNN, periodic TSV logging and a
+final snapshot.
+
+TPU-native shape: ONE jitted ``train_step`` fuses triplet index selection,
+gathers from the device-resident sample tensors, background augmentation,
+forward/backward and the Caffe-semantics SGD update.  The host loop only
+sequences iterations, logging, bootstrapping and checkpoints.  Scale-out is
+a ``dp`` mesh: the group axis of each batch is sharded, params/opt state
+replicated, and XLA inserts the gradient psum (parallel/mesh.py).
+
+Loop structure parity (trainNet, reference :326-390):
+  for round < num_training_rounds + num_bootstrapping_rounds:
+    if round >= num_training_rounds: recompute kNN tables; bootstrapping on
+    for epoch < num_epochs: for iter < epoch_iter: step
+    every log_epoch epochs: saveLog + saveConfusionMatrix
+  snapshot at the end; resume = restore + recompute kNN + bootstrapping on
+  (reference :304-310).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.config import Config
+from pose3d_tpu.data.batcher import TRIPLET_SIZE, build_batch, epoch_iters
+from pose3d_tpu.data.dataset import DeviceData
+from pose3d_tpu.eval import evaluator
+from pose3d_tpu.models import NETWORKS, NetSpec, apply, init_params, losses
+from pose3d_tpu.models.manifold import descriptor_fn, trunk_param_names
+from pose3d_tpu.parallel.mesh import make_mesh, replicate
+from pose3d_tpu.train import checkpoint
+from pose3d_tpu.train.optim import caffe_sgd, freeze_trunk
+
+log = logging.getLogger(__name__)
+
+
+class Solver:
+    def __init__(self, cfg: Config, data: DeviceData,
+                 bg_bank: Optional[jnp.ndarray] = None,
+                 mesh=None):
+        self.cfg = cfg
+        self.data = data
+        self.bg_bank = bg_bank
+        self.spec: NetSpec = NETWORKS[cfg.net_name]
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.data_parallel)
+        self.batch_size = cfg.batch_size or self.spec.batch_size
+        self.groups = self.batch_size // TRIPLET_SIZE
+        if self.groups % self.mesh.size != 0 and self.mesh.size > 1:
+            # pad groups up so the dp axis divides the batch
+            self.groups += self.mesh.size - self.groups % self.mesh.size
+        self.epoch_iter = epoch_iters(self.data, self.groups * TRIPLET_SIZE)
+
+        self.tx = caffe_sgd(cfg.learning_rate, cfg.momentum,
+                            cfg.weight_decay, cfg.learning_policy,
+                            cfg.step_size, cfg.gamma)
+        self.knn_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+        self._steps: Dict[bool, Any] = {}
+
+    # ------------------------------------------------------------ plumbing
+    def init_state(self, key: Optional[jax.Array] = None) -> Dict:
+        key = key if key is not None else jax.random.key(self.cfg.seed)
+        kp, kr = jax.random.split(key)
+        params = init_params(kp, self.spec)
+        state = {
+            "params": params,
+            "opt": self.tx.init(params),
+            "key": kr,
+            "iter": jnp.zeros((), jnp.int32),
+        }
+        # replicate across the mesh so the sharded batch drives the psum
+        sharding = replicate(self.mesh)
+        return jax.device_put(state, sharding)
+
+    def _dummy_knn(self):
+        O, Ntr = self.data.nr_objects, self.data.nr_training_poses
+        return (jnp.zeros((O, Ntr, 4), jnp.int32),
+                jnp.zeros((O, Ntr), bool))
+
+    def _train_step(self, bootstrapping: bool):
+        """Build (and cache) the jitted step for a bootstrapping mode."""
+        if bootstrapping in self._steps:
+            return self._steps[bootstrapping]
+
+        spec = self.spec
+        cfg = self.cfg
+        groups = self.groups
+        mesh = self.mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def step(state, data, knn_tables, it):
+            key, kb = jax.random.split(state["key"])
+            batch = build_batch(kb, it, groups, data,
+                                random_background=cfg.random_background,
+                                bg_bank=self.bg_bank,
+                                bootstrapping=bootstrapping,
+                                knn_tables=knn_tables)
+            batch = jax.lax.with_sharding_constraint(
+                batch, NamedSharding(mesh, P("dp")))
+
+            def loss_fn(params):
+                desc = apply(params, spec, batch)
+                return losses.spec_loss(desc, spec.loss_slices, spec.margin)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            updates, opt = self.tx.update(grads, state["opt"],
+                                          state["params"])
+            params = jax.tree.map(lambda p, u: p + u, state["params"],
+                                  updates)
+            new_state = {"params": params, "opt": opt, "key": key,
+                         "iter": state["iter"] + 1}
+            return new_state, loss
+
+        jitted = jax.jit(step, donate_argnums=(0,))
+        self._steps[bootstrapping] = jitted
+        return jitted
+
+    # --------------------------------------------------------------- kNN
+    def compute_knn(self, params) -> None:
+        """Refresh the bootstrap tables from live descriptors (reference
+        computeKNN, src/networksolver.cpp:456-505)."""
+        fn = descriptor_fn(self.spec)
+        self.knn_tables = evaluator.compute_knn_tables(
+            fn, params, self.data.train_patches, self.data.tmpl_patches)
+
+    # ------------------------------------------------------------- logging
+    def _log_metrics(self, params, iteration: int, elapsed: float) -> None:
+        cfg = self.cfg
+        fn = descriptor_fn(self.spec)
+        rot_inv_global = cfg.rot_inv
+        if self.data.test_patches.shape[1] > 0:
+            test_hist = evaluator.compute_histogram(
+                fn, params, self.data.tmpl_patches, self.data.tmpl_labels,
+                self.data.test_patches, self.data.test_labels,
+                rot_inv_global, k=cfg.knn)
+        else:
+            test_hist = np.zeros(len(evaluator.HISTOGRAM_BINS) + 2)
+        train_hist = evaluator.compute_histogram(
+            fn, params, self.data.tmpl_patches, self.data.tmpl_labels,
+            self.data.train_patches, self.data.train_labels,
+            rot_inv_global, k=cfg.knn)
+        evaluator.save_log(cfg.output_path, cfg.log_name, test_hist,
+                           train_hist, iteration, elapsed,
+                           self.data.nr_objects,
+                           self.data.nr_training_poses)
+        local_index = {m: i for i, m in enumerate(cfg.used_models)}
+        # reference quirk kept: the confusion matrix is computed on the
+        # training set (src/networkevaluator.cpp:390)
+        conf = evaluator.compute_confusion_matrix(
+            fn, params, self.data.tmpl_patches, self.data.tmpl_labels,
+            self.data.train_patches, self.data.train_labels,
+            cfg.models, local_index, k=cfg.knn)
+        evaluator.save_confusion_matrix(cfg.output_path, cfg.log_name, conf,
+                                        iteration)
+
+    # -------------------------------------------------------------- train
+    def train(self, resume_iter: int = 0) -> Dict:
+        cfg = self.cfg
+        state = self.init_state()
+        bootstrapping = False
+        start = time.time()
+
+        if resume_iter > 0:
+            path = checkpoint.snapshot_path(cfg.output_path, cfg.net_name,
+                                            resume_iter)
+            state = checkpoint.restore(path, state)
+            self.compute_knn(state["params"])
+            bootstrapping = True
+            log.info("resumed from %s; bootstrapping on", path)
+
+        total_rounds = cfg.num_training_rounds + cfg.num_bootstrapping_rounds
+        it_global = int(state["iter"])
+        for rnd in range(total_rounds):
+            if rnd >= cfg.num_training_rounds and not bootstrapping:
+                self.compute_knn(state["params"])
+                bootstrapping = True
+            if bootstrapping and self.knn_tables is None:
+                self.compute_knn(state["params"])
+
+            step = self._train_step(bootstrapping)
+            knn = self.knn_tables if self.knn_tables is not None \
+                else self._dummy_knn()
+            for epoch in range(cfg.num_epochs):
+                for it in range(self.epoch_iter):
+                    state, loss = step(state, self.data, knn,
+                                       jnp.int32(it))
+                    it_global += 1
+                if (epoch + 1) % max(cfg.log_epoch, 1) == 0:
+                    log.info("round %d epoch %d iter %d loss %.4f",
+                             rnd, epoch, it_global, float(loss))
+            if cfg.output_path and (rnd + 1) % max(cfg.log_epoch, 1) == 0:
+                self._log_metrics(state["params"], it_global,
+                                  time.time() - start)
+
+        if cfg.output_path:
+            checkpoint.save(cfg.output_path, cfg.net_name, it_global, state)
+        return state
+
+    # ---------------------------------------------------------- binarize
+    def binarize(self, trunk_state: Dict,
+                 resume_iter: int = 0) -> Dict:
+        """Train the 128-bit binarization head on a frozen trunk
+        (binarizeNet, reference src/networksolver.cpp:394-453): warm-start
+        trunk weights from the trained descriptor net, run
+        ``binarization_epochs`` epochs with BinarizationLoss."""
+        cfg = self.cfg
+        bin_spec = NETWORKS[cfg.binarization_net_name]
+        key = jax.random.key(cfg.seed + 1)
+        params = init_params(key, bin_spec)
+        # copy shared trunk weights from the trained net
+        for name in trunk_param_names(bin_spec):
+            if name in trunk_state["params"]:
+                params[name] = trunk_state["params"][name]
+
+        tx = freeze_trunk(
+            caffe_sgd(cfg.learning_rate, cfg.momentum, cfg.weight_decay,
+                      cfg.learning_policy, cfg.step_size, cfg.gamma),
+            trunk_param_names(bin_spec))
+        groups = self.groups
+
+        def step(state, data, it):
+            key, kb = jax.random.split(state["key"])
+            batch = build_batch(kb, it, groups, data,
+                                random_background=cfg.random_background,
+                                bg_bank=self.bg_bank)
+
+            def loss_fn(p):
+                logits = apply(p, bin_spec, batch, bin_head=True)
+                return losses.binarization_loss(logits)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+            updates, opt = tx.update(grads, state["opt"], state["params"])
+            new_params = jax.tree.map(lambda p, u: p + u, state["params"],
+                                      updates)
+            return {"params": new_params, "opt": opt, "key": key,
+                    "iter": state["iter"] + 1}, loss
+
+        jitted = jax.jit(step, donate_argnums=(0,))
+        state = {"params": params, "opt": tx.init(params), "key": key,
+                 "iter": jnp.zeros((), jnp.int32)}
+        it_global = 0
+        for _epoch in range(cfg.binarization_epochs):
+            for it in range(self.epoch_iter):
+                state, loss = jitted(state, self.data, jnp.int32(it))
+                it_global += 1
+        if cfg.output_path:
+            checkpoint.save(cfg.output_path, cfg.binarization_net_name,
+                            it_global, state)
+        return state

@@ -95,12 +95,15 @@ _DB_CACHE = {}
 
 def fixture_db(tmp_path_factory_or_path, monkeypatch):
     """Session-cached generated dataset: generation compiles several XLA
-    programs, so build it once and reuse (tests treat it as read-only)."""
+    programs, so build it once per process and keep the HDF5 caches in a
+    fixed /tmp dir so later pytest *processes* skip generation entirely
+    (the DatasetManager regenerates only missing caches, like the
+    reference)."""
     if "db" not in _DB_CACHE:
-        import tempfile
-        base = tempfile.mkdtemp(prefix="p3d_fix_")
         from pathlib import Path
-        db, cfg = build_fixture_manager(Path(base), monkeypatch)
+        base = Path("/tmp/p3d_fixture_cache")
+        base.mkdir(exist_ok=True)
+        db, cfg = build_fixture_manager(base, monkeypatch)
         db.generate_datasets()
         _DB_CACHE["db"] = (db, cfg)
     return _DB_CACHE["db"]

@@ -1,0 +1,188 @@
+import os
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.eval import evaluator
+from pose3d_tpu.models import NETWORKS, apply, init_params
+from pose3d_tpu.models.manifold import descriptor_fn
+from pose3d_tpu.train import checkpoint
+from pose3d_tpu.train.optim import caffe_sgd
+from pose3d_tpu.train.solver import Solver
+
+from test_dataset import _cached_device_data
+
+
+def test_caffe_sgd_update_semantics():
+    # one step on a toy tree, checked against the Caffe formula
+    params = {"fc": {"w": jnp.asarray([2.0]), "b": jnp.asarray([1.0])}}
+    grads = {"fc": {"w": jnp.asarray([0.5]), "b": jnp.asarray([0.25])}}
+    lr, mom, wd = 0.1, 0.9, 0.01
+    tx = caffe_sgd(lr, mom, wd, policy="fixed")
+    state = tx.init(params)
+    updates, state = tx.update(grads, state, params)
+    # v_w = lr * (g + wd*w) = 0.1 * (0.5 + 0.02) = 0.052
+    np.testing.assert_allclose(np.asarray(updates["fc"]["w"]), [-0.052],
+                               rtol=1e-6)
+    # bias lr_mult 2: v_b = 0.2 * (0.25 + 0.01) = 0.052
+    np.testing.assert_allclose(np.asarray(updates["fc"]["b"]), [-0.052],
+                               rtol=1e-6)
+    # second step accumulates momentum
+    updates2, _ = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates2["fc"]["w"]),
+                               [-(0.9 * 0.052 + 0.052)], rtol=1e-6)
+
+
+def test_step_lr_schedule():
+    from pose3d_tpu.train.optim import make_lr_schedule
+    s = make_lr_schedule(0.001, "step", step_size=10, gamma=0.5)
+    np.testing.assert_allclose(float(s(0)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(s(9)), 0.001, rtol=1e-6)
+    np.testing.assert_allclose(float(s(10)), 0.0005, rtol=1e-6)
+    np.testing.assert_allclose(float(s(25)), 0.00025, rtol=1e-6)
+
+
+def test_solver_trains_and_loss_decreases(tmp_path, monkeypatch):
+    data, cfg = _cached_device_data(monkeypatch)
+    cfg2 = __import__("dataclasses").replace(
+        cfg, output_path=str(tmp_path) + "/out/", num_training_rounds=1,
+        num_bootstrapping_rounds=1, random_background=1, log_epoch=100)
+    solver = Solver(cfg2, data)
+    state = solver.init_state()
+    step = solver._train_step(False)
+    knn = solver._dummy_knn()
+    losses = []
+    for it in range(6):
+        state, loss = step(state, data, knn, jnp.int32(it % solver.epoch_iter))
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]        # learning signal
+    assert int(state["iter"]) == 6
+
+    # bootstrapping step path compiles and runs with real tables
+    solver.compute_knn(state["params"])
+    bstep = solver._train_step(True)
+    state, loss2 = bstep(state, data, solver.knn_tables, jnp.int32(0))
+    assert np.isfinite(float(loss2))
+
+
+def test_knn_tables_shapes_and_self_retrieval(tmp_path, monkeypatch):
+    data, cfg = _cached_device_data(monkeypatch)
+    spec = NETWORKS[cfg.net_name]
+    params = init_params(jax.random.key(0), spec)
+    fn = descriptor_fn(spec)
+    tables, has2 = evaluator.compute_knn_tables(
+        fn, params, data.tmpl_patches, data.tmpl_patches)
+    O, T = data.tmpl_patches.shape[:2]
+    assert tables.shape == (O, T, 4)
+    # each template's own nearest neighbor is itself
+    t = np.asarray(tables)
+    np.testing.assert_array_equal(t[..., 0],
+                                  np.arange(O)[:, None].repeat(T, 1))
+    np.testing.assert_array_equal(t[..., 1],
+                                  np.arange(T)[None, :].repeat(O, 0))
+    # the recorded second entry is always another object
+    assert (t[np.asarray(has2)][:, 2] !=
+            np.arange(O)[:, None].repeat(T, 1)[np.asarray(has2)]).all()
+
+
+def test_histogram_protocol_perfect_descriptors(tmp_path, monkeypatch):
+    data, cfg = _cached_device_data(monkeypatch)
+
+    # a fake "network" that returns the pose quaternion as the descriptor:
+    # retrieval is then pose-perfect and every query matches exactly
+    def fake_apply(params, patches):
+        # look the patch up by identity against the template set
+        raise RuntimeError("not used")
+
+    # bypass the net: call the histogram core directly through descriptors
+    # equal to quaternions
+    O, T = data.tmpl_labels.shape[:2]
+    tq = np.asarray(data.tmpl_labels)[..., 1:5].reshape(-1, 4)
+    dq = tq.copy()
+
+    from pose3d_tpu.eval.evaluator import _histogram_core
+    t_cls = np.repeat(np.arange(O), T).astype(np.int32)
+    best, found, exact = _histogram_core(
+        jnp.asarray(dq), jnp.asarray(tq), jnp.asarray(tq), jnp.asarray(tq),
+        jnp.asarray(t_cls), jnp.asarray(t_cls),
+        jnp.zeros(len(dq), jnp.int32), k=3)
+    assert bool(jnp.all(found))
+    # near-duplicate template quats + f32 kNN ties: the best same-class
+    # neighbor is the query itself up to sub-0.1-degree noise
+    assert float(jnp.max(jnp.asarray(best))) < 0.1
+    assert float(jnp.mean(exact)) > 0.9
+
+
+def test_histogram_and_confusion_on_fixture(tmp_path, monkeypatch):
+    data, cfg = _cached_device_data(monkeypatch)
+    spec = NETWORKS[cfg.net_name]
+    params = init_params(jax.random.key(1), spec)
+    fn = descriptor_fn(spec)
+
+    hist = evaluator.compute_histogram(
+        fn, params, data.tmpl_patches, data.tmpl_labels,
+        data.test_patches, data.test_labels, cfg.rot_inv, k=3)
+    assert len(hist) == len(evaluator.HISTOGRAM_BINS) + 2
+    assert np.isfinite(hist).all()
+
+    local_index = {m: i for i, m in enumerate(cfg.used_models)}
+    conf = evaluator.compute_confusion_matrix(
+        fn, params, data.tmpl_patches, data.tmpl_labels,
+        data.test_patches, data.test_labels, cfg.models, local_index, k=3)
+    assert conf.shape == (2, 2)
+    # each row sums to ~1 (every query lands somewhere, / nr_test_poses)
+    np.testing.assert_allclose(conf.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_save_log_format(tmp_path):
+    hist = np.array([0.1, 0.2, 0.3, 0.5, 0.8, 1.0, 12.5, 9.0])
+    p = evaluator.save_log(str(tmp_path), "run.txt", hist, hist, 120, 3.5,
+                           nr_models=2, nr_training_poses=300)
+    lines = open(p).read().strip().split("\n")
+    assert lines[0].split("\t") == [
+        "mod", "iter", "epoch", "time", "<-1", "<0", "<10", "<20", "<40",
+        "<180", "mean", "median"]
+    row = lines[1].split("\t")
+    assert row[0] == "test" and row[1] == "120"
+    assert row[2] == str(120 // (2 * 300 // 60))
+    # appending again must not duplicate the header
+    evaluator.save_log(str(tmp_path), "run.txt", hist, hist, 240, 7.0, 2,
+                       300)
+    lines = open(p).read().strip().split("\n")
+    assert len(lines) == 5
+
+
+def test_checkpoint_roundtrip(tmp_path, monkeypatch):
+    data, cfg = _cached_device_data(monkeypatch)
+    cfg2 = __import__("dataclasses").replace(cfg,
+                                             output_path=str(tmp_path))
+    solver = Solver(cfg2, data)
+    state = solver.init_state()
+    path = checkpoint.save(str(tmp_path), cfg2.net_name, 42, state)
+    assert path.endswith("manifold_rgbd_16_iter_42.ckpt")
+    found = checkpoint.latest(str(tmp_path), cfg2.net_name)
+    assert found == (path, 42)
+    restored = checkpoint.restore(path, solver.init_state())
+    for a, b in zip(jax.tree.leaves(checkpoint._unwrap_keys(state)),
+                    jax.tree.leaves(checkpoint._unwrap_keys(restored))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_full_train_loop_with_logging(tmp_path, monkeypatch):
+    data, cfg = _cached_device_data(monkeypatch)
+    cfg2 = __import__("dataclasses").replace(
+        cfg, output_path=str(tmp_path) + "/out/", num_training_rounds=1,
+        num_bootstrapping_rounds=1, num_epochs=1, log_epoch=1,
+        random_background=1)
+    solver = Solver(cfg2, data)
+    # shrink the epoch for speed
+    solver.epoch_iter = 2
+    state = solver.train()
+    assert int(state["iter"]) == 2 * 2   # 2 rounds x 2 iters
+    out = cfg2.output_path
+    assert os.path.exists(os.path.join(out, "log" + cfg2.log_name))
+    assert os.path.exists(os.path.join(out, "cm" + cfg2.log_name))
+    assert checkpoint.latest(out, cfg2.net_name) is not None
