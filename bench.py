@@ -19,6 +19,12 @@ import time
 import numpy as np
 
 import jax
+
+if "--cpu-baseline" in sys.argv:
+    # this image force-selects the axon TPU platform over the env var; the
+    # config knob (pre-backend-init) does win
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 

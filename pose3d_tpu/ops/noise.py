@@ -24,8 +24,12 @@ import jax.numpy as jnp
 _F2 = 0.5
 _G2 = 0.25
 # 12 gradients: 8 diagonal/axis pairs + 4 axis-only, FastNoise's table.
-_GRAD_X = jnp.array([1, -1, 1, -1, 1, -1, 1, -1, 0, 0, 0, 0], jnp.float32)
-_GRAD_Y = jnp.array([1, 1, -1, -1, 0, 0, 0, 0, 1, -1, 1, -1], jnp.float32)
+# (NumPy constants: module-level jnp arrays would initialize the backend at
+# import time, which breaks late platform selection.)
+import numpy as _np  # noqa: E402
+
+_GRAD_X = _np.array([1, -1, 1, -1, 1, -1, 1, -1, 0, 0, 0, 0], _np.float32)
+_GRAD_Y = _np.array([1, 1, -1, -1, 0, 0, 0, 0, 1, -1, 1, -1], _np.float32)
 
 FRACTAL_BOUNDING = 1.0 / 1.75  # 1 / (1 + g + g^2) for gain 0.5, 3 octaves
 

@@ -1,18 +1,22 @@
-"""Test configuration: force CPU with 8 virtual devices BEFORE jax import.
+"""Test configuration: force CPU with 8 virtual devices BEFORE backend init.
 
 This validates every pjit/Mesh path without TPU hardware (SURVEY.md §4) and
-keeps unit tests hermetic and fast.
+keeps unit tests hermetic.  NOTE: this image pre-sets JAX_PLATFORMS=axon in
+a way that overrides the env var, so the platform must be forced through
+jax.config *after* import but before first device use.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
