@@ -48,7 +48,7 @@ def _hash12(perm: jnp.ndarray, offset: jnp.ndarray, i: jnp.ndarray,
 
 def _grad_dot(perm, offset, i, j, xd, yd):
     g = _hash12(perm, offset, i, j)
-    return xd * _GRAD_X[g] + yd * _GRAD_Y[g]
+    return xd * jnp.asarray(_GRAD_X)[g] + yd * jnp.asarray(_GRAD_Y)[g]
 
 
 def _single_simplex(perm: jnp.ndarray, offset: jnp.ndarray,

@@ -112,8 +112,13 @@ def sample_patch(color: jnp.ndarray, depth: jnp.ndarray, normals: jnp.ndarray,
     gxn = _nearest_axis(out_size, screen_w, cut_x, W)
     gyn = _nearest_axis(out_size, screen_h, cut_y, H)
     d = depth[gyn[:, None], gxn[None, :]].astype(jnp.float32)
-    d = jnp.clip(d - z, -m, m)
-    d = (d / m + 1.0) * 0.5
+    dc = jnp.clip(d - z, -m, m)
+    # (dc + m) first so the -m clip maps to an exact 0 — XLA's fma
+    # contraction of (dc/m + 1) * 0.5 leaves ~1e-8 residue, and background
+    # pixels must read exactly 0: that bit is the augmentation mask
+    # (reference src/bgfill.cpp:106).  The where() makes it contraction-proof.
+    d = (dc + m) * (0.5 / m)
+    d = jnp.where(dc <= -m, 0.0, d)
 
     return jnp.concatenate([rgb, d[..., None], nor], axis=-1)
 

@@ -91,7 +91,12 @@ def _rasterize_rows(pix: jnp.ndarray, M: jnp.ndarray, area: jnp.ndarray,
 
         w = vals[..., 0:3]                                     # [P, chunk, 3]
         s = jnp.sign(ar)[None, :, None]
-        inside = jnp.all(w * s >= 0.0, axis=-1)
+        # coverage tolerance scaled by |area|: f32 noise in the edge
+        # functions otherwise drops seam pixels along shared triangle edges
+        # (observed on XLA CPU); tiny double-coverage is harmless under the
+        # z-buffer since both faces interpolate the same depth there.
+        tol = 1e-4 * jnp.abs(ar)[None, :, None]
+        inside = jnp.all(w * s >= -tol, axis=-1)
         inside &= (jnp.abs(ar) > _EPS_AREA)[None, :] & vl[None, :]
 
         zinv_area = vals[..., 3]                               # [P, chunk]
