@@ -155,6 +155,71 @@ def build_batch(key: jax.Array, it: jnp.ndarray, groups: int,
     return batch.reshape(groups * TRIPLET_SIZE, *anchor.shape[1:])
 
 
+def class_batch_indices(key: jax.Array, it: jnp.ndarray, groups: int,
+                        data: DeviceData, bootstrapping: bool = False,
+                        knn_tables=None) -> dict:
+    """buildBatchClass (reference src/networksolver.cpp:188-259): the
+    class-level variant — puller is a *random* same-class template and all
+    three pushers come from other classes (mutually distinct); under
+    bootstrapping, misclassified kNN *objects* (with random poses) replace
+    pushers 1 and 2.  Library function, like the reference (never called
+    from the main path)."""
+    O = data.nr_objects
+    Ntr = data.nr_training_poses
+    T = data.nr_template_poses
+
+    linear = it * groups + jnp.arange(groups)
+    obj = (linear % O).astype(jnp.int32)
+    pose = ((linear // O) % Ntr).astype(jnp.int32)
+
+    ks = jax.random.split(key, 8)
+    puller = jax.random.randint(ks[0], obj.shape, 0, T)
+
+    # three distinct other-class objects (sequential exclusion draws)
+    p0_obj = _uniform_except(ks[1], O, obj)
+    p1_obj = _uniform_except(ks[2], O, obj)
+    p1_obj = jnp.where(p1_obj == p0_obj, (p1_obj + 1) % O, p1_obj)
+    p1_obj = jnp.where(p1_obj == obj, (p1_obj + 1) % O, p1_obj)
+    p2_obj = (obj + 1) % O
+    for _ in range(2):  # walk to a free slot among <= 4 taken values
+        clash = (p2_obj == obj) | (p2_obj == p0_obj) | (p2_obj == p1_obj)
+        p2_obj = jnp.where(clash, (p2_obj + 1) % O, p2_obj)
+
+    poses_r = jax.random.randint(ks[3], (3,) + obj.shape, 0, T)
+
+    if bootstrapping and knn_tables is not None:
+        knn, _ = knn_tables
+        knn_obj = knn[obj, pose, 0]
+        p1_obj = jnp.where(knn_obj != obj, knn_obj, p1_obj)
+        p2_obj = jnp.where(knn_obj != obj, knn[obj, pose, 2], p2_obj)
+
+    return dict(obj=obj, pose=pose, puller=puller,
+                pusher0_obj=p0_obj, pusher0_pose=poses_r[0],
+                pusher1_obj=p1_obj, pusher1_pose=poses_r[1],
+                pusher2_obj=p2_obj, pusher2_pose=poses_r[2])
+
+
+@partial(jax.jit, static_argnames=("groups", "bootstrapping",
+                                   "random_background"))
+def build_batch_class(key: jax.Array, it: jnp.ndarray, groups: int,
+                      data: DeviceData, random_background: int = 0,
+                      bg_bank: Optional[jnp.ndarray] = None,
+                      bootstrapping: bool = False,
+                      knn_tables=None) -> jnp.ndarray:
+    """Class-level batch assembly [groups * 5, 64, 64, 7]."""
+    kidx, kfill = jax.random.split(key)
+    ix = class_batch_indices(kidx, it, groups, data, bootstrapping,
+                             knn_tables)
+    anchor = data.train_patches[ix["obj"], ix["pose"]]
+    puller = data.tmpl_patches[ix["obj"], ix["puller"]]
+    pushers = [data.tmpl_patches[ix[f"pusher{i}_obj"], ix[f"pusher{i}_pose"]]
+               for i in range(3)]
+    if random_background != 0:
+        anchor = random_fill(kfill, anchor, random_background, bg_bank)
+    batch = jnp.stack([anchor, puller] + pushers, axis=1)
+    return batch.reshape(groups * TRIPLET_SIZE, *anchor.shape[1:])
+
+
 def epoch_iters(data: DeviceData, batch_size: int) -> int:
     """epoch_iter = nr_objects * nr_training_poses / groups (reference
     src/networksolver.cpp:297-298)."""

@@ -159,10 +159,45 @@ def load_bigbird(root: str, sequence: str, count: int = -1) -> Benchmark:
     return bench
 
 
+def read_raw_depth(path: str) -> np.ndarray:
+    """Benjamin-format binary depth: u16 rows, u16 cols, then row-major u16
+    millimeter values (reference src/datasetmanager.cpp:177-190)."""
+    with open(path, "rb") as f:
+        rows, cols = np.frombuffer(f.read(4), "<u2")
+        vals = np.frombuffer(f.read(int(rows) * int(cols) * 2), "<u2")
+    return (vals.astype(np.float32) * 0.001).reshape(int(rows), int(cols))
+
+
+def load_benjamin(root: str, sequence: str, count: int = -1) -> Benchmark:
+    """Simulated-render benchmark: ``<stem>_color.png`` + ``<stem>_depth.raw``
+    + ``<stem>_pose.txt`` per frame; the pose translation is overridden to
+    (0, 0, 1) (reference loadBenjaminBenchmark, src/datasetmanager.cpp:
+    153-218); LineMOD intrinsics."""
+    _require_cv2()
+    d = os.path.join(root, sequence)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(d)
+    bench = Benchmark(cam=LINEMOD_K.copy())
+    for i, f in enumerate(sorted(os.listdir(d))):
+        if not f.endswith("_color.png"):
+            continue
+        stem = f[:-len("_color.png")]
+        color = cv2.imread(os.path.join(d, f))
+        depth = read_raw_depth(os.path.join(d, stem + "_depth.raw"))
+        pose = np.loadtxt(os.path.join(d, stem + "_pose.txt"),
+                          dtype=np.float32).reshape(4, 4)
+        pose[:3, 3] = [0.0, 0.0, 1.0]
+        bench.frames.append(Frame(len(bench.frames), color, depth, pose))
+        if count > -1 and len(bench.frames) > count:
+            break
+    return bench
+
+
 LOADERS = {
     "LineMOD": load_linemod,
     "BigBIRD": load_bigbird,
     "Washington": load_washington,
+    "Benjamin": load_benjamin,
 }
 
 

@@ -139,6 +139,51 @@ def extract_real_samples(bench: Benchmark, class_idx: int,
     return SampleSet(np.concatenate(patches), np.stack(labels))
 
 
+def extract_real_samples_wadim(bench: Benchmark, class_idx: int,
+                               chunk: int = 16) -> SampleSet:
+    """extractRealSamplesWadim (reference src/datasetmanager.cpp:381-411):
+    like Paul but the patch z is the *surface* depth read at the projected
+    translation instead of the centroid depth.  Library function — not on
+    the default path, same as the reference."""
+    cam = bench.cam
+    fx, fy = float(cam[0, 0]), float(cam[1, 1])
+    patches, labels = [], []
+    for start in range(0, len(bench.frames), chunk):
+        frames = bench.frames[start:start + chunk]
+        cols = np.stack([f.color.astype(np.float32) for f in frames])
+        deps = np.stack([f.depth for f in frames])
+        cxs, cys, zs = [], [], []
+        for f in frames:
+            proj = cam @ f.pose[:3, 3]
+            u, v = proj[0] / proj[2], proj[1] / proj[2]
+            z = float(f.depth[int(v), int(u)])
+            if z <= 0.0:
+                raise ValueError(
+                    f"frame {f.nr}: no surface depth at projected center")
+            cxs.append(u)
+            cys.append(v)
+            zs.append(z)
+            labels.append(pose_to_label(class_idx, f.pose))
+        nors = jax.vmap(lambda d: depth2normals(d, fx, fy))(jnp.asarray(deps))
+        batch = sample_patches(jnp.asarray(cols), jnp.asarray(deps), nors,
+                               jnp.asarray(cxs, jnp.float32),
+                               jnp.asarray(cys, jnp.float32),
+                               jnp.asarray(zs, jnp.float32), fx=fx, fy=fy)
+        patches.append(np.asarray(batch))
+    return SampleSet(np.concatenate(patches), np.stack(labels))
+
+
+def extract_synth_samples_benjamin(path: str, cam: np.ndarray,
+                                   sequence: str,
+                                   class_idx: int) -> SampleSet:
+    """extractSynthSamplesBenjamin (reference src/datasetmanager.cpp:
+    220-296): pre-rendered simulated frames -> centroid-projected patches."""
+    from pose3d_tpu.data.benchmarks import load_benjamin
+    bench = load_benjamin(path, sequence)
+    bench.cam = np.asarray(cam, np.float32)
+    return extract_real_samples(bench, class_idx, None, "Benjamin")
+
+
 def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
                          subdiv: int, inplane: bool,
                          scale_z: float = 0.4) -> SampleSet:
@@ -278,10 +323,12 @@ class DatasetManager:
             hdf5cache.write_samples(real_p, real.patches, real.labels)
 
             if cfg.use_simulated:
-                raise NotImplementedError(
-                    "simulated (Benjamin) sample import is not wired; "
-                    "see reference src/datasetmanager.cpp:220-296")
-            if cfg.inplane:
+                # sampling_type 2 (reference src/datasetmanager.cpp:696-700)
+                templates = extract_synth_samples_benjamin(
+                    cfg.simulated_templates_path, bench.cam, model_name, idx)
+                synth = extract_synth_samples_benjamin(
+                    cfg.simulated_training_path, bench.cam, model_name, idx)
+            elif cfg.inplane:
                 templates = create_synth_samples(mesh, bench.cam, idx,
                                                  cfg.template_subdiv, True)
                 synth = create_synth_samples(mesh, bench.cam, idx,

@@ -48,6 +48,27 @@ def read_samples(path: str) -> Tuple[np.ndarray, np.ndarray]:
     return np.transpose(data, (0, 2, 3, 1)), labels
 
 
+def write_samples_tf(path: str, patches: np.ndarray,
+                     labels: np.ndarray) -> None:
+    """TensorFlow-layout variant: NHWC on disk (the reference ships
+    writeTensorFlow/readTensorFlow alongside the Caffe layout, reference
+    src/hdf5handler.cpp:136-224)."""
+    if not HAVE_H5PY:
+        raise RuntimeError("h5py unavailable")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=np.asarray(patches, np.float32))
+        f.create_dataset("label", data=np.asarray(labels, np.float32))
+
+
+def read_samples_tf(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    if not HAVE_H5PY:
+        raise RuntimeError("h5py unavailable")
+    with h5py.File(path, "r") as f:
+        return (np.asarray(f["data"], np.float32),
+                np.asarray(f["label"], np.float32))
+
+
 def cache_paths(hdf5_path: str, model: str) -> Tuple[str, str, str]:
     """(real, synth, templates) cache files for one model, reference names."""
     return (os.path.join(hdf5_path, f"realSamples_{model}.h5"),

@@ -93,6 +93,54 @@ def transform_points(T: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     return points @ T[:3, :3].T + T[:3, 3]
 
 
+def grow_foreground(depth: jnp.ndarray, seed_rc: tuple | None = None,
+                    tol: float = 0.01, max_iters: int = 256) -> jnp.ndarray:
+    """Depth-connected flood fill from a seed pixel (reference
+    growForeground, src/helper.cpp:131-166): grow a mask from the seed,
+    adding 4-neighbors whose depth differs from an already-included neighbor
+    by < ``tol``.  XLA-style: iterate masked dilation with lax.while_loop
+    until the frontier stops changing.  Returns a bool [H, W] mask.
+    """
+    H, W = depth.shape
+    if seed_rc is None:
+        seed_rc = (H // 2, W // 2)
+    mask0 = jnp.zeros((H, W), bool).at[seed_rc[0], seed_rc[1]].set(True)
+
+    def shift(m, dr, dc):
+        return jnp.roll(m, (dr, dc), axis=(0, 1))
+
+    def grow_once(mask):
+        new = mask
+        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb_in = shift(mask, dr, dc)           # neighbor already included
+            nb_depth = shift(depth, dr, dc)
+            ok = nb_in & (jnp.abs(depth - nb_depth) < tol) & (depth > 0)
+            # roll wraps; mask out the wrapped border row/col
+            if dr == 1:
+                ok = ok.at[0, :].set(False)
+            if dr == -1:
+                ok = ok.at[-1, :].set(False)
+            if dc == 1:
+                ok = ok.at[:, 0].set(False)
+            if dc == -1:
+                ok = ok.at[:, -1].set(False)
+            new = new | ok
+        return new
+
+    def cond(state):
+        i, mask, changed = state
+        return changed & (i < max_iters)
+
+    def body(state):
+        i, mask, _ = state
+        new = grow_once(mask)
+        return i + 1, new, jnp.any(new != mask)
+
+    _, mask, _ = jax.lax.while_loop(cond, body,
+                                    (jnp.int32(0), mask0, jnp.bool_(True)))
+    return mask
+
+
 def invert_isometry(T: jnp.ndarray) -> jnp.ndarray:
     """Invert a rigid 4x4 transform."""
     R = T[..., :3, :3]

@@ -198,6 +198,48 @@ def _load_obj(path: str) -> Mesh:
                 vertex_normals(vertices, faces_a))
 
 
+def subsample_cloud(points: np.ndarray, leaf: float) -> np.ndarray:
+    """Voxel-grid subsampling: one representative point per occupied voxel
+    (equivalent of the reference's subsampleCloud, src/model.cpp:192-242).
+    Keeps the first point seen per voxel, in input order."""
+    if len(points) == 0:
+        return points
+    keys = np.floor(points / leaf).astype(np.int64)
+    _, first = np.unique(keys, axis=0, return_index=True)
+    return points[np.sort(first)]
+
+
+def mesh_resolution(mesh: Mesh) -> float:
+    """Median edge length — the reference's notion of mesh resolution
+    (src/model.cpp:74-85)."""
+    v = mesh.vertices
+    f = mesh.faces
+    e = np.concatenate([
+        np.linalg.norm(v[f[:, 0]] - v[f[:, 1]], axis=1),
+        np.linalg.norm(v[f[:, 1]] - v[f[:, 2]], axis=1),
+        np.linalg.norm(v[f[:, 2]] - v[f[:, 0]], axis=1)])
+    return float(np.median(e))
+
+
+def edge_points(mesh: Mesh, angle_deg: float = 30.0) -> np.ndarray:
+    """Vertices on sharp geometric edges: a vertex is an edge point when two
+    faces sharing it disagree in normal by more than ``angle_deg``
+    (equivalent of computeEdgePoints, src/model.cpp:103-138)."""
+    v, f = mesh.vertices, mesh.faces
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    n = np.linalg.norm(fn, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    fn = fn / n
+    cos_thresh = np.cos(np.deg2rad(angle_deg))
+
+    # min/max face-normal agreement per vertex against the vertex normal
+    worst = np.ones(len(v))
+    for k in range(3):
+        dots = np.sum(fn * mesh.normals[f[:, k]], axis=1)
+        np.minimum.at(worst, f[:, k], dots)
+    return v[worst < cos_thresh]
+
+
 def save_ply(path: str, mesh: Mesh) -> None:
     """Binary little-endian PLY writer with per-vertex colors (equivalent of
     the reference's savePLY, src/model.cpp:246-291)."""

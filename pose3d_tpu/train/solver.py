@@ -181,9 +181,27 @@ class Solver:
             bootstrapping = True
             log.info("resumed from %s; bootstrapping on", path)
 
+        # checkpoint-on-signal: SIGTERM/SIGINT snapshot then clean exit
+        # (the reference's only resilience is cache idempotence, SURVEY §5;
+        # here a preempted run resumes from the signal snapshot)
+        stop = {"flag": False}
+        import signal as _signal
+
+        def _on_signal(signum, frame):
+            stop["flag"] = True
+
+        old_handlers = {}
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                old_handlers[sig] = _signal.signal(sig, _on_signal)
+            except ValueError:   # non-main thread
+                pass
+
         total_rounds = cfg.num_training_rounds + cfg.num_bootstrapping_rounds
         it_global = int(state["iter"])
         for rnd in range(total_rounds):
+            if stop["flag"]:
+                break
             if rnd >= cfg.num_training_rounds and not bootstrapping:
                 self.compute_knn(state["params"])
                 bootstrapping = True
@@ -198,15 +216,25 @@ class Solver:
                     state, loss = step(state, self.data, knn,
                                        jnp.int32(it))
                     it_global += 1
+                    if stop["flag"]:
+                        break
                 if (epoch + 1) % max(cfg.log_epoch, 1) == 0:
                     log.info("round %d epoch %d iter %d loss %.4f",
                              rnd, epoch, it_global, float(loss))
-            if cfg.output_path and (rnd + 1) % max(cfg.log_epoch, 1) == 0:
+                if stop["flag"]:
+                    break
+            if cfg.output_path and not stop["flag"] and \
+                    (rnd + 1) % max(cfg.log_epoch, 1) == 0:
                 self._log_metrics(state["params"], it_global,
                                   time.time() - start)
 
+        for sig, h in old_handlers.items():
+            _signal.signal(sig, h)
         if cfg.output_path:
             checkpoint.save(cfg.output_path, cfg.net_name, it_global, state)
+        if stop["flag"]:
+            log.warning("interrupted: snapshot written at iter %d",
+                        it_global)
         return state
 
     # ---------------------------------------------------------- binarize
