@@ -1,0 +1,159 @@
+"""Tile-culled rasterization — the production render path.
+
+The brute-force rasterizer (rasterizer.py) evaluates every (pixel, face)
+pair: O(P*F) work where typically <2% of faces touch a given 64x64 pixel
+tile.  This version bins faces to tiles first (screen-bbox overlap test +
+``top_k`` to a fixed per-tile capacity — XLA-friendly fixed shapes), then
+runs the same affine-evaluation inner loop per tile against only its faces.
+For a LineMOD-scale render (294^2 window, ~20k faces) this cuts arithmetic
+by ~20-100x; the inner loop stays the shared `_rasterize_rows` so both
+paths are bit-identical per covered pixel.
+
+Capacity overflow policy: faces beyond ``capacity`` per tile are dropped
+(silently at trace time — validate with ``max_tile_overlap`` which reports
+the true per-tile maximum for a mesh/pose so callers can size capacity).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.render.rasterizer import (_face_matrix, _rasterize_rows,
+                                          NEAR)
+
+
+def _project_and_pack(vertices, faces, colors, pose, K, cx_shift, cy_shift):
+    vc = jnp.matmul(vertices, pose[:3, :3].T,
+                    precision="highest") + pose[:3, 3]
+    fx, fy = K[0, 0], K[1, 1]
+    ox, oy = K[0, 2], K[1, 2]
+    z = vc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    sx = fx * vc[:, 0] / zs + ox - cx_shift
+    sy = fy * vc[:, 1] / zs + oy - cy_shift
+
+    p = jnp.stack([sx, sy], axis=1)[faces]
+    zc = z[faces]
+    col = colors[faces]
+    M, valid = _face_matrix(p, zc, col)
+    area = jnp.sum(M[:, 0:3, 0] * p[:, 0:1, 0] +
+                   M[:, 0:3, 1] * p[:, 0:1, 1] + M[:, 0:3, 2], axis=1)
+    bb_min = jnp.min(p, axis=1)            # [F, 2]
+    bb_max = jnp.max(p, axis=1)
+    # faces touching the camera plane get degenerate screen bboxes; kill them
+    bb_min = jnp.where(valid[:, None], bb_min, 1e9)
+    bb_max = jnp.where(valid[:, None], bb_max, -1e9)
+    return M, area, valid, bb_min, bb_max
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
+                                   "face_chunk"))
+def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
+                      colors: jnp.ndarray, pose: jnp.ndarray,
+                      K: jnp.ndarray, width: int, height: int,
+                      x0: int = 0, y0: int = 0, tile: int = 64,
+                      capacity: int = 1024,
+                      face_chunk: int = 256
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Tile-culled render; same contract as rasterizer.render_view."""
+    cx_shift = x0 + width * 0.5
+    cy_shift = y0 + height * 0.5
+    M, area, valid, bb_min, bb_max = _project_and_pack(
+        vertices, faces, colors, pose, K, cx_shift, cy_shift)
+
+    # pad the face axis so both top_k and the chunked inner loop see
+    # face_chunk multiples
+    F = faces.shape[0]
+    padF = (-F) % face_chunk
+    if padF:
+        M = jnp.pad(M, ((0, padF), (0, 0), (0, 0)))
+        area = jnp.pad(area, (0, padF))
+        valid = jnp.pad(valid, (0, padF))
+        bb_min = jnp.pad(bb_min, ((0, padF), (0, 0)),
+                         constant_values=1e9)
+        bb_max = jnp.pad(bb_max, ((0, padF), (0, 0)),
+                         constant_values=-1e9)
+    F_padded = F + padF
+    capacity = min(((capacity + face_chunk - 1) // face_chunk) * face_chunk,
+                   F_padded)
+    tiles_x = (width + tile - 1) // tile
+    tiles_y = (height + tile - 1) // tile
+
+    # tile bounds in the centered coordinate frame
+    tx0 = (jnp.arange(tiles_x) * tile + x0 - cx_shift).astype(jnp.float32)
+    ty0 = (jnp.arange(tiles_y) * tile + y0 - cy_shift).astype(jnp.float32)
+
+    def do_tile(t):
+        ty = t // tiles_x
+        tx = t % tiles_x
+        lo_x = tx0[tx]
+        lo_y = ty0[ty]
+        hi_x = lo_x + tile
+        hi_y = lo_y + tile
+
+        overlap = ((bb_max[:, 0] >= lo_x) & (bb_min[:, 0] < hi_x) &
+                   (bb_max[:, 1] >= lo_y) & (bb_min[:, 1] < hi_y) & valid)
+        score, idx = jax.lax.top_k(overlap.astype(jnp.int32), capacity)
+        Mt = M[idx]
+        areat = area[idx]
+        validt = score > 0
+
+        rr = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
+        cc = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)
+        qx = lo_x + cc + 0.5
+        qy = lo_y + rr + 0.5
+        pix = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=-1).reshape(-1, 3)
+        d, c = _rasterize_rows(pix, Mt, areat, validt, face_chunk)
+        return d.reshape(tile, tile), c.reshape(tile, tile, 3)
+
+    depth_t, color_t = jax.lax.map(do_tile, jnp.arange(tiles_y * tiles_x))
+    # stitch [T, tile, tile] -> [H, W]
+    depth = depth_t.reshape(tiles_y, tiles_x, tile, tile)
+    depth = depth.transpose(0, 2, 1, 3).reshape(tiles_y * tile,
+                                                tiles_x * tile)
+    color = color_t.reshape(tiles_y, tiles_x, tile, tile, 3)
+    color = color.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile,
+                                                   tiles_x * tile, 3)
+    depth = jnp.where(jnp.isinf(depth), 0.0, depth)[:height, :width]
+    return color[:height, :width], depth
+
+
+def max_tile_overlap(vertices, faces, colors, pose, K, width, height,
+                     x0: int = 0, y0: int = 0, tile: int = 64) -> int:
+    """True maximum face count over tiles for capacity sizing (host utility,
+    not jitted into the hot path)."""
+    cx_shift = x0 + width * 0.5
+    cy_shift = y0 + height * 0.5
+    _, _, valid, bb_min, bb_max = _project_and_pack(
+        jnp.asarray(vertices), jnp.asarray(faces), jnp.asarray(colors),
+        jnp.asarray(pose), jnp.asarray(K), cx_shift, cy_shift)
+    import numpy as np
+    bb_min = np.asarray(bb_min)
+    bb_max = np.asarray(bb_max)
+    valid = np.asarray(valid)
+    best = 0
+    for ty in range(0, height, tile):
+        for tx in range(0, width, tile):
+            lo_x = tx + x0 - cx_shift
+            lo_y = ty + y0 - cy_shift
+            n = int(np.sum((bb_max[:, 0] >= lo_x) &
+                           (bb_min[:, 0] < lo_x + tile) &
+                           (bb_max[:, 1] >= lo_y) &
+                           (bb_min[:, 1] < lo_y + tile) & valid))
+            best = max(best, n)
+    return best
+
+
+def render_views_tiled(vertices, faces, colors, poses, K, width, height,
+                       tile: int = 64, capacity: int = 1024,
+                       face_chunk: int = 256):
+    """Batch over poses (lax.map keeps memory bounded)."""
+    def one(pose):
+        return render_view_tiled(vertices, faces, colors, pose, K,
+                                 width=width, height=height, tile=tile,
+                                 capacity=capacity, face_chunk=face_chunk)
+    return jax.lax.map(one, poses)
