@@ -1,0 +1,174 @@
+"""Pallas TPU kernel for the rasterizer inner loop.
+
+The XLA inner loop (rasterizer._rasterize_rows) materializes a
+[pixels, faces, 8] intermediate per face chunk in HBM; this kernel keeps
+everything in VMEM: grid = (pixel_tiles, face_chunks) with the face axis
+minor, one [1024, 3] x [3, 8*Fc] MXU dot per step, a VPU epilogue, and the
+running (depth, color) z-buffer in VMEM scratch that persists across the
+face-chunk axis.  Outputs are written once, on the last face chunk.
+
+Face data is packed attribute-major per chunk so the epilogue slices are
+static: columns [a*Fc:(a+1)*Fc] of the dot result hold attribute a for all
+faces of the chunk, attributes = (w0, w1, w2, area*zinv, 3x area*zinv*color,
+area).
+
+Same math as rasterizer.py (window-centered coordinates, both windings,
+area-scaled coverage tolerance, near/far clipping), so outputs bit-match up
+to reduction order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pose3d_tpu.render.rasterizer import _face_matrix, NEAR, FAR
+
+_TILE_P = 1024          # pixels per tile: fits an (8, 128) vreg layout
+_EPS_AREA = 1e-12
+
+
+def _kernel(pix_ref, m_ref, depth_ref, color_ref, accd, accc):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        accd[:] = jnp.full_like(accd, jnp.inf)
+        accc[:] = jnp.zeros_like(accc)
+
+    vals = jnp.dot(pix_ref[:], m_ref[0], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    fc = vals.shape[1] // 8
+    w0 = vals[:, 0 * fc:1 * fc]
+    w1 = vals[:, 1 * fc:2 * fc]
+    w2 = vals[:, 2 * fc:3 * fc]
+    za = vals[:, 3 * fc:4 * fc]
+    cb = vals[:, 4 * fc:5 * fc]
+    cg = vals[:, 5 * fc:6 * fc]
+    cr = vals[:, 6 * fc:7 * fc]
+    ar = vals[:, 7 * fc:8 * fc]     # area row: constant per face
+
+    s = jnp.sign(ar)
+    tol = 1e-4 * jnp.abs(ar)
+    inside = ((w0 * s >= -tol) & (w1 * s >= -tol) & (w2 * s >= -tol) &
+              (jnp.abs(ar) > _EPS_AREA))
+    zden = jnp.where(za != 0.0, za, 1.0)
+    depth = ar / zden
+    ok = inside & (depth > NEAR) & (depth <= FAR) & (za * s > 0)
+    depth = jnp.where(ok, depth, jnp.inf)
+
+    d = jnp.min(depth, axis=1)                              # [1024]
+    arg = jnp.argmin(depth, axis=1)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1)
+              == arg[:, None])
+    zsel = jnp.sum(jnp.where(onehot, zden, 0.0), axis=1)
+    zsel = jnp.where(zsel != 0.0, zsel, 1.0)
+    csel_b = jnp.sum(jnp.where(onehot, cb, 0.0), axis=1) / zsel
+    csel_g = jnp.sum(jnp.where(onehot, cg, 0.0), axis=1) / zsel
+    csel_r = jnp.sum(jnp.where(onehot, cr, 0.0), axis=1) / zsel
+
+    d2 = d.reshape(8, 128)
+    prev = accd[:]
+    better = d2 < prev
+    accd[:] = jnp.where(better, d2, prev)
+    cstack = jnp.stack([csel_b.reshape(8, 128), csel_g.reshape(8, 128),
+                        csel_r.reshape(8, 128)])
+    accc[:] = jnp.where(better[None], cstack, accc[:])
+
+    @pl.when(j == nj - 1)
+    def _emit():
+        final = accd[:]
+        depth_ref[0] = jnp.where(jnp.isinf(final), 0.0, final)
+        color_ref[0] = accc[:]
+
+
+def _pack_faces(M: jnp.ndarray, area: jnp.ndarray, valid: jnp.ndarray,
+                face_chunk: int) -> jnp.ndarray:
+    """[F, 7, 3] + area + valid -> [3, n_chunks * 8 * Fc] attribute-major.
+
+    Invalid faces get area 0 (rejected by the epilogue)."""
+    F = M.shape[0]
+    pad = (-F) % face_chunk
+    area = jnp.where(valid, area, 0.0)
+    arow = jnp.concatenate(
+        [jnp.zeros((F, 1, 2)), area[:, None, None]], axis=2)  # (0,0,area)
+    M8 = jnp.concatenate([M, arow], axis=1)                   # [F, 8, 3]
+    if pad:
+        M8 = jnp.pad(M8, ((0, pad), (0, 0), (0, 0)))
+    n_chunks = M8.shape[0] // face_chunk
+    # [n_chunks, Fc, 8, 3] -> [n_chunks, 8, Fc, 3] -> [3, n_chunks*8*Fc]
+    M8 = M8.reshape(n_chunks, face_chunk, 8, 3).transpose(0, 2, 1, 3)
+    return M8.reshape(n_chunks * 8 * face_chunk, 3).T, n_chunks
+
+
+@partial(jax.jit, static_argnames=("width", "height", "face_chunk",
+                                   "interpret"))
+def render_view_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
+                       colors: jnp.ndarray, pose: jnp.ndarray,
+                       K: jnp.ndarray, width: int, height: int,
+                       x0: int = 0, y0: int = 0,
+                       face_chunk: int = 128, interpret: bool = False
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as rasterizer.render_view, Pallas inner loop.
+    ``interpret=True`` runs the kernel in the Pallas interpreter (for CPU
+    tests)."""
+    cx_shift = x0 + width * 0.5
+    cy_shift = y0 + height * 0.5
+    vc = jnp.matmul(vertices, pose[:3, :3].T,
+                    precision="highest") + pose[:3, 3]
+    fx, fy = K[0, 0], K[1, 1]
+    ox, oy = K[0, 2], K[1, 2]
+    z = vc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+    sx = fx * vc[:, 0] / zs + ox - cx_shift
+    sy = fy * vc[:, 1] / zs + oy - cy_shift
+
+    p = jnp.stack([sx, sy], axis=1)[faces]
+    M, valid = _face_matrix(p, z[faces], colors[faces])
+    area = jnp.sum(M[:, 0:3, 0] * p[:, 0:1, 0] +
+                   M[:, 0:3, 1] * p[:, 0:1, 1] + M[:, 0:3, 2], axis=1)
+    m_packed, n_chunks = _pack_faces(M, area, valid, face_chunk)
+
+    # pixel matrix [T*1024, 3], padded
+    P = width * height
+    n_tiles = (P + _TILE_P - 1) // _TILE_P
+    flat = jnp.arange(n_tiles * _TILE_P)
+    qx = (flat % width).astype(jnp.float32) + 0.5 + x0 - cx_shift
+    qy = (flat // width).astype(jnp.float32) + 0.5 + y0 - cy_shift
+    pix = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=1)
+
+    depth_t, color_t = pl.pallas_call(
+        _kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((_TILE_P, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 8 * face_chunk), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 8, 128), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 3, 8, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((3, 8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pix, m_packed.reshape(1, 3, -1))
+
+    depth = depth_t.reshape(-1)[:P].reshape(height, width)
+    color = color_t.transpose(0, 2, 3, 1).reshape(-1, 3)[:P]
+    return color.reshape(height, width, 3), depth
