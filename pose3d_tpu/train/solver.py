@@ -39,7 +39,9 @@ from pose3d_tpu.data.batcher import TRIPLET_SIZE, build_batch, epoch_iters
 from pose3d_tpu.data.dataset import DeviceData
 from pose3d_tpu.eval import evaluator
 from pose3d_tpu.models import NETWORKS, NetSpec, apply, init_params, losses
-from pose3d_tpu.models.manifold import descriptor_fn, trunk_param_names
+from pose3d_tpu.models.manifold import (descriptor_fn,
+                                        precision_from_config,
+                                        trunk_param_names)
 from pose3d_tpu.parallel.mesh import make_mesh, replicate
 from pose3d_tpu.train import checkpoint
 from pose3d_tpu.train.optim import caffe_sgd, freeze_trunk
@@ -64,6 +66,8 @@ class Solver:
             self.groups += self.mesh.size - self.groups % self.mesh.size
         self.epoch_iter = epoch_iters(self.data, self.groups * TRIPLET_SIZE)
 
+        self.compute_dtype, self.precision = precision_from_config(
+            cfg.compute_dtype)
         self.tx = caffe_sgd(cfg.learning_rate, cfg.momentum,
                             cfg.weight_decay, cfg.learning_policy,
                             cfg.step_size, cfg.gamma)
@@ -112,7 +116,9 @@ class Solver:
                 batch, NamedSharding(mesh, P("dp")))
 
             def loss_fn(params):
-                desc = apply(params, spec, batch)
+                desc = apply(params, spec, batch,
+                             compute_dtype=self.compute_dtype,
+                             precision=self.precision)
                 return losses.spec_loss(desc, spec.loss_slices, spec.margin)
 
             loss, grads = jax.value_and_grad(loss_fn)(state["params"])
@@ -132,14 +138,14 @@ class Solver:
     def compute_knn(self, params) -> None:
         """Refresh the bootstrap tables from live descriptors (reference
         computeKNN, src/networksolver.cpp:456-505)."""
-        fn = descriptor_fn(self.spec)
+        fn = descriptor_fn(self.spec, self.compute_dtype, self.precision)
         self.knn_tables = evaluator.compute_knn_tables(
             fn, params, self.data.train_patches, self.data.tmpl_patches)
 
     # ------------------------------------------------------------- logging
     def _log_metrics(self, params, iteration: int, elapsed: float) -> None:
         cfg = self.cfg
-        fn = descriptor_fn(self.spec)
+        fn = descriptor_fn(self.spec, self.compute_dtype, self.precision)
         rot_inv_global = cfg.rot_inv
         if self.data.test_patches.shape[1] > 0:
             test_hist = evaluator.compute_histogram(
