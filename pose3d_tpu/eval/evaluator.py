@@ -43,14 +43,22 @@ HISTOGRAM_BINS = (-1.0, 0.0, 10.0, 20.0, 40.0, 180.0)
 # ------------------------------------------------------------- descriptors
 
 def compute_descriptors(apply_fn: Callable, params, patches: jnp.ndarray,
-                        batch_size: int = 512) -> jnp.ndarray:
+                        batch_size: int = 512, mesh=None) -> jnp.ndarray:
     """Forward all patches [N, 64, 64, 7] -> [N, D] in fixed-size jitted
-    chunks (pad + trim keeps one compiled program for any N)."""
+    chunks (pad + trim keeps one compiled program for any N).
+
+    With ``mesh``, each chunk's batch axis is sharded over the ``dp`` axis —
+    descriptor extraction (and therefore every kNN metric built on it)
+    scales across the ICI slice with zero collectives (row-parallel)."""
     N = patches.shape[0]
     if N == 0:
         probe = apply_fn(params, patches[:1] if len(patches) else
                          jnp.zeros((1, 64, 64, 7)))
         return jnp.zeros((0, probe.shape[-1]))
+
+    if mesh is not None and mesh.size > 1:
+        batch_size = ((batch_size + mesh.size - 1)
+                      // mesh.size) * mesh.size
 
     fn = jax.jit(apply_fn)
     outs = []
@@ -60,6 +68,9 @@ def compute_descriptors(apply_fn: Callable, params, patches: jnp.ndarray,
         if pad:
             chunk = jnp.concatenate(
                 [chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+        if mesh is not None and mesh.size > 1:
+            from pose3d_tpu.parallel.mesh import batch_sharding
+            chunk = jax.device_put(chunk, batch_sharding(mesh))
         outs.append(fn(params, chunk)[:batch_size - pad])
     return jnp.concatenate(outs)
 
