@@ -127,13 +127,40 @@ def shape_fill(key: jax.Array, patch: jnp.ndarray) -> jnp.ndarray:
     return _merge_patch(rgb, dep, nor)
 
 
-def fractal_fill(key: jax.Array, patch: jnp.ndarray) -> jnp.ndarray:
+def make_noise_bank(key: jax.Array, n: int = 64) -> jnp.ndarray:
+    """Precompute ``n`` simplex-fractal fields [n, 76, 76] once (device
+    resident).  The hot-path fill then gathers + re-randomizes a field
+    instead of evaluating the permutation-table gather chain per sample —
+    those serialized table lookups dominate the fused train step on TPU."""
+    keys = jax.random.split(key, n)
+    return jax.vmap(lambda k: simplex_fractal(make_permutation(k),
+                                              (_CANVAS, _CANVAS)))(keys)
+
+
+def _bank_field(key: jax.Array, noise_bank: jnp.ndarray) -> jnp.ndarray:
+    """Draw a decorrelated field from the bank: random pick + circular roll
+    + flips + sign (distribution-preserving symmetries of the noise)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    f = noise_bank[jax.random.randint(k1, (), 0, noise_bank.shape[0])]
+    sh = jax.random.randint(k2, (2,), 0, _CANVAS)
+    f = jnp.roll(f, (sh[0], sh[1]), axis=(0, 1))
+    flips = jax.random.bernoulli(k3, shape=(3,))
+    f = jnp.where(flips[0], f[::-1], f)
+    f = jnp.where(flips[1], f[:, ::-1], f)
+    return jnp.where(flips[2], -f, f)
+
+
+def fractal_fill(key: jax.Array, patch: jnp.ndarray,
+                 noise_bank: jnp.ndarray | None = None) -> jnp.ndarray:
     """Simplex-fractal background (reference src/bgfill.cpp:231-302):
     grayscale fractal for RGB, shifted copy for depth, recomputed normals,
     undilated mask paste + median-smoothed outline."""
-    perm = make_permutation(key)
     C = _CANVAS
-    field = simplex_fractal(perm, (C, C))              # ~[-1, 1]
+    if noise_bank is not None:
+        field = _bank_field(key, noise_bank)
+    else:
+        perm = make_permutation(key)
+        field = simplex_fractal(perm, (C, C))          # ~[-1, 1]
     canvas_rgb = jnp.clip(field + 0.5, 0.0, 1.0)[..., None].repeat(3, -1)
     canvas_dep = field * 0.5 + 1.0
     scale = 0.6 / canvas_dep[C // 2, C // 2]
@@ -181,12 +208,14 @@ def real_fill(key: jax.Array, patch: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("mode",))
 def random_fill(key: jax.Array, patches: jnp.ndarray, mode: int,
-                bank: jnp.ndarray | None = None) -> jnp.ndarray:
+                bank: jnp.ndarray | None = None,
+                noise_bank: jnp.ndarray | None = None) -> jnp.ndarray:
     """Batched dispatch (reference randomFill, src/datasetmanager.cpp:786-800).
 
     patches [B, 64, 64, 7]; mode in {-1, 0, 1, 2, 3, 4}.  mode 0 is the
     identity.  mode -1 picks uniformly from {1, 2, 3} per sample via
-    lax.switch.
+    lax.switch.  ``noise_bank`` (make_noise_bank) makes the fractal mode
+    a cheap gather; without it the field is evaluated per sample.
     """
     if mode == 0:
         return patches
@@ -198,7 +227,10 @@ def random_fill(key: jax.Array, patches: jnp.ndarray, mode: int,
             raise ValueError("real background fill needs a background bank")
         return jax.vmap(lambda k, p: real_fill(k, p, bank))(keys, patches)
 
-    branches = [color_fill, shape_fill, fractal_fill]
+    def fractal(k, p):
+        return fractal_fill(k, p, noise_bank)
+
+    branches = [color_fill, shape_fill, fractal]
     if mode in (1, 2, 3):
         fn = branches[mode - 1]
         return jax.vmap(fn)(keys, patches)

@@ -129,7 +129,8 @@ def build_batch(key: jax.Array, it: jnp.ndarray, groups: int,
                 data: DeviceData, random_background: int = 0,
                 bg_bank: Optional[jnp.ndarray] = None,
                 bootstrapping: bool = False,
-                knn_tables=None) -> jnp.ndarray:
+                knn_tables=None,
+                noise_bank: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Assemble one training batch [groups * 5, 64, 64, 7] on device.
 
     Group layout (anchor, puller, pusher0, pusher1, pusher2) — the exact
@@ -149,7 +150,8 @@ def build_batch(key: jax.Array, it: jnp.ndarray, groups: int,
     pusher2 = data.tmpl_patches[ix["pusher2_obj"], ix["pusher2_pose"]]
 
     if random_background != 0:
-        anchor = random_fill(kfill, anchor, random_background, bg_bank)
+        anchor = random_fill(kfill, anchor, random_background, bg_bank,
+                             noise_bank)
 
     batch = jnp.stack([anchor, puller, pusher0, pusher1, pusher2], axis=1)
     return batch.reshape(groups * TRIPLET_SIZE, *anchor.shape[1:])
@@ -205,7 +207,9 @@ def build_batch_class(key: jax.Array, it: jnp.ndarray, groups: int,
                       data: DeviceData, random_background: int = 0,
                       bg_bank: Optional[jnp.ndarray] = None,
                       bootstrapping: bool = False,
-                      knn_tables=None) -> jnp.ndarray:
+                      knn_tables=None,
+                      noise_bank: Optional[jnp.ndarray] = None
+                      ) -> jnp.ndarray:
     """Class-level batch assembly [groups * 5, 64, 64, 7]."""
     kidx, kfill = jax.random.split(key)
     ix = class_batch_indices(kidx, it, groups, data, bootstrapping,
@@ -215,7 +219,8 @@ def build_batch_class(key: jax.Array, it: jnp.ndarray, groups: int,
     pushers = [data.tmpl_patches[ix[f"pusher{i}_obj"], ix[f"pusher{i}_pose"]]
                for i in range(3)]
     if random_background != 0:
-        anchor = random_fill(kfill, anchor, random_background, bg_bank)
+        anchor = random_fill(kfill, anchor, random_background, bg_bank,
+                             noise_bank)
     batch = jnp.stack([anchor, puller] + pushers, axis=1)
     return batch.reshape(groups * TRIPLET_SIZE, *anchor.shape[1:])
 

@@ -73,6 +73,13 @@ class Solver:
                             cfg.step_size, cfg.gamma)
         self.knn_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self._steps: Dict[bool, Any] = {}
+        # precomputed fractal-noise fields: the per-sample permutation-table
+        # gather chain otherwise dominates the fused step on TPU
+        self.noise_bank = None
+        if cfg.random_background in (3, -1):
+            from pose3d_tpu.data.augment import make_noise_bank
+            self.noise_bank = make_noise_bank(
+                jax.random.key(cfg.seed + 17), 64)
 
     # ------------------------------------------------------------ plumbing
     def init_state(self, key: Optional[jax.Array] = None) -> Dict:
@@ -111,7 +118,8 @@ class Solver:
                                 random_background=cfg.random_background,
                                 bg_bank=self.bg_bank,
                                 bootstrapping=bootstrapping,
-                                knn_tables=knn_tables)
+                                knn_tables=knn_tables,
+                                noise_bank=self.noise_bank)
             batch = jax.lax.with_sharding_constraint(
                 batch, NamedSharding(mesh, P("dp")))
 
@@ -132,6 +140,57 @@ class Solver:
 
         jitted = jax.jit(step, donate_argnums=(0,))
         self._steps[bootstrapping] = jitted
+        return jitted
+
+    def _train_epoch(self, bootstrapping: bool):
+        """A whole epoch as ONE compiled program (lax.scan over the step).
+
+        One dispatch per epoch instead of per iteration: on a tunneled or
+        congested link the per-call latency otherwise dominates the
+        ~10-60 ms step.  Returns (state, mean_loss)."""
+        key_ = ("epoch", bootstrapping)
+        if key_ in self._steps:
+            return self._steps[key_]
+
+        spec = self.spec
+        cfg = self.cfg
+        groups = self.groups
+        mesh = self.mesh
+        n_iters = self.epoch_iter
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def epoch(state, data, knn_tables):
+            def body(carry, it):
+                key, kb = jax.random.split(carry["key"])
+                batch = build_batch(kb, it, groups, data,
+                                    random_background=cfg.random_background,
+                                    bg_bank=self.bg_bank,
+                                    bootstrapping=bootstrapping,
+                                    knn_tables=knn_tables,
+                                    noise_bank=self.noise_bank)
+                batch = jax.lax.with_sharding_constraint(
+                    batch, NamedSharding(mesh, P("dp")))
+
+                def loss_fn(params):
+                    desc = apply(params, spec, batch,
+                                 compute_dtype=self.compute_dtype,
+                                 precision=self.precision)
+                    return losses.spec_loss(desc, spec.loss_slices,
+                                            spec.margin)
+
+                loss, grads = jax.value_and_grad(loss_fn)(carry["params"])
+                updates, opt = self.tx.update(grads, carry["opt"],
+                                              carry["params"])
+                params = jax.tree.map(lambda p, u: p + u, carry["params"],
+                                      updates)
+                return {"params": params, "opt": opt, "key": key,
+                        "iter": carry["iter"] + 1}, loss
+
+            state, ls = jax.lax.scan(body, state, jnp.arange(n_iters))
+            return state, ls.mean()
+
+        jitted = jax.jit(epoch, donate_argnums=(0,))
+        self._steps[key_] = jitted
         return jitted
 
     # --------------------------------------------------------------- kNN
@@ -214,19 +273,16 @@ class Solver:
             if bootstrapping and self.knn_tables is None:
                 self.compute_knn(state["params"])
 
-            step = self._train_step(bootstrapping)
             knn = self.knn_tables if self.knn_tables is not None \
                 else self._dummy_knn()
+            epoch_fn = self._train_epoch(bootstrapping)
             for epoch in range(cfg.num_epochs):
-                for it in range(self.epoch_iter):
-                    state, loss = step(state, self.data, knn,
-                                       jnp.int32(it))
-                    it_global += 1
-                    if stop["flag"]:
-                        break
+                # one device program per epoch (scan over iterations)
+                state, mean_loss = epoch_fn(state, self.data, knn)
+                it_global += self.epoch_iter
                 if (epoch + 1) % max(cfg.log_epoch, 1) == 0:
-                    log.info("round %d epoch %d iter %d loss %.4f",
-                             rnd, epoch, it_global, float(loss))
+                    log.info("round %d epoch %d iter %d mean loss %.4f",
+                             rnd, epoch, it_global, float(mean_loss))
                 if stop["flag"]:
                     break
             if cfg.output_path and not stop["flag"] and \
@@ -269,7 +325,8 @@ class Solver:
             key, kb = jax.random.split(state["key"])
             batch = build_batch(kb, it, groups, data,
                                 random_background=cfg.random_background,
-                                bg_bank=self.bg_bank)
+                                bg_bank=self.bg_bank,
+                                noise_bank=self.noise_bank)
 
             def loss_fn(p):
                 logits = apply(p, bin_spec, batch, bin_head=True)
