@@ -177,9 +177,26 @@ def _load_ply(path: str) -> Mesh:
 
 # --------------------------------------------------------------- OBJ parsing
 
+def _load_texture(path: str):
+    """Texture preprocessing matching the reference (src/model.cpp:343-351):
+    vertical flip + brightness/contrast (x1.8 +20).  The /6 downscale is
+    skipped — we sample per vertex, not through a GL sampler."""
+    try:
+        import cv2
+    except Exception:
+        return None
+    tex = cv2.imread(path)
+    if tex is None:
+        return None
+    tex = tex[::-1].astype(np.float32) * 1.8 + 20.0
+    return np.clip(tex, 0, 255)
+
+
 def _load_obj(path: str) -> Mesh:
     verts = []
+    tcoords = []
     faces = []
+    vert_uv = {}         # vertex -> first-seen texcoord index
     with open(path, "r", errors="replace") as f:
         for line in f:
             tok = line.split()
@@ -187,13 +204,37 @@ def _load_obj(path: str) -> Mesh:
                 continue
             if tok[0] == "v":
                 verts.append([float(x) for x in tok[1:4]])
+            elif tok[0] == "vt":
+                tcoords.append([float(tok[1]), float(tok[2])])
             elif tok[0] == "f":
-                idx = [int(t.split("/")[0]) - 1 for t in tok[1:]]
+                idx = []
+                for t in tok[1:]:
+                    parts = t.split("/")
+                    vi = int(parts[0]) - 1
+                    idx.append(vi)
+                    if len(parts) > 1 and parts[1]:
+                        vert_uv.setdefault(vi, int(parts[1]) - 1)
                 for k in range(1, len(idx) - 1):
                     faces.append((idx[0], idx[k], idx[k + 1]))
     vertices = np.asarray(verts, np.float32)
     faces_a = np.asarray(faces, np.int32).reshape(-1, 3)
+
+    # per-vertex color from the texture when UVs + <stem>.png exist
+    # (the reference's GL texturing, approximated at vertex rate — BigBIRD
+    # meshes are dense relative to the 64x64 patches)
     colors = np.full((len(vertices), 3), 0.5, np.float32)
+    if tcoords and vert_uv:
+        tex = _load_texture(os.path.splitext(path)[0] + ".png")
+        if tex is not None:
+            th, tw = tex.shape[:2]
+            uv = np.asarray(tcoords, np.float32)
+            for vi, ti in vert_uv.items():
+                if ti >= len(uv):
+                    continue
+                u, v = uv[ti]
+                x = min(max(int(u * (tw - 1)), 0), tw - 1)
+                y = min(max(int(v * (th - 1)), 0), th - 1)
+                colors[vi] = tex[y, x] / 255.0
     return Mesh(vertices, faces_a, colors,
                 vertex_normals(vertices, faces_a))
 

@@ -1,0 +1,81 @@
+"""Learning validation: train on a hermetic procedural dataset and report
+the protocol metrics.  Passes when the descriptor actually learns pose
+retrieval (exact-match and <20-degree mass far above chance).
+
+Run: PYTHONPATH=. python scripts/validate_learning.py [workdir]
+Writes logs/checkpoints under <workdir>/out and prints the final histogram.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(base: str = "/tmp/p3d_validate") -> int:
+    from make_disk_fixture import make_linemod_fixture, write_fixture_config
+    from pose3d_tpu.config import load_config
+    from pose3d_tpu.data.dataset import DatasetManager
+    from pose3d_tpu.eval import evaluator
+    from pose3d_tpu.models import NETWORKS
+    from pose3d_tpu.models.manifold import descriptor_fn
+    from pose3d_tpu.train.solver import Solver
+
+    os.makedirs(base, exist_ok=True)
+    data_dir = os.path.join(base, "data")
+    if not os.path.exists(os.path.join(data_dir, "cube.ply")):
+        print("generating disk fixture...", flush=True)
+        make_linemod_fixture(data_dir, n_frames=10)
+    cfgp = os.path.join(base, "config.ini")
+    write_fixture_config(cfgp, data_dir, os.path.join(base, "h5"),
+                         os.path.join(base, "out"))
+    cfg = load_config(cfgp)
+    # richer spheres + a real schedule
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, template_subdiv=1, training_subdiv=2, num_training_rounds=8,
+        num_bootstrapping_rounds=2, num_epochs=1, log_epoch=2,
+        batch_size=300, random_background=1)
+
+    t0 = time.time()
+    db = DatasetManager(cfg)
+    db.generate_datasets()
+    data = db.to_device()
+    print(f"dataset: train {data.train_patches.shape} "
+          f"templates {data.tmpl_patches.shape} "
+          f"test {data.test_patches.shape} ({time.time()-t0:.0f}s)",
+          flush=True)
+
+    solver = Solver(cfg, data)
+    state = solver.train()
+    print(f"trained {int(state['iter'])} iters in {time.time()-t0:.0f}s",
+          flush=True)
+
+    fn = descriptor_fn(NETWORKS[cfg.net_name])
+    hist = evaluator.compute_histogram(
+        fn, state["params"], data.tmpl_patches, data.tmpl_labels,
+        data.test_patches, data.test_labels, cfg.rot_inv, k=cfg.knn)
+    names = ["wrong-class", "exact", "<10", "<20", "<40", "<180", "mean",
+             "median"]
+    print("TEST histogram:")
+    for n, v in zip(names, hist):
+        print(f"  {n:>12}: {v:.3f}")
+
+    local_index = {m: i for i, m in enumerate(cfg.used_models)}
+    conf = evaluator.compute_confusion_matrix(
+        fn, state["params"], data.tmpl_patches, data.tmpl_labels,
+        data.test_patches, data.test_labels, cfg.models, local_index,
+        k=cfg.knn)
+    print("confusion:\n", np.round(conf, 3))
+
+    ok = hist[0] < 0.2 and hist[3] > 0.5     # class right, <20 deg majority
+    print("LEARNING VALIDATION:", "PASS" if ok else "WEAK", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/p3d_validate"))
