@@ -72,7 +72,21 @@ def main(base: str = "/tmp/p3d_validate") -> int:
         k=cfg.knn)
     print("confusion:\n", np.round(conf, 3))
 
-    ok = hist[0] < 0.2 and hist[3] > 0.5     # class right, <20 deg majority
+    # geometric floor: even a pose-oracle retriever can't beat the angular
+    # distance to the nearest template on the sampling sphere
+    import jax.numpy as jnp
+    from pose3d_tpu.ops import quaternion as Q
+    floors = []
+    for o in range(data.nr_objects):
+        d = Q.pairwise_angular_distance(data.test_labels[o, :, 1:5],
+                                        data.tmpl_labels[o, :, 1:5])
+        floors.append(np.degrees(np.asarray(jnp.min(d, axis=1))))
+    floor_med = float(np.median(np.concatenate(floors)))
+    print(f"pose-oracle floor median: {floor_med:.1f} deg "
+          f"(achieved median {hist[-1]:.1f})")
+
+    # pass = classification solved AND median within 2x of the oracle floor
+    ok = hist[0] < 0.2 and hist[-1] <= max(2.0 * floor_med, 10.0)
     print("LEARNING VALIDATION:", "PASS" if ok else "WEAK", flush=True)
     return 0 if ok else 1
 
