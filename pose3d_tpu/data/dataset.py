@@ -46,7 +46,7 @@ from pose3d_tpu.data.benchmarks import Benchmark, load_benchmark
 from pose3d_tpu.ops import quaternion as Q
 from pose3d_tpu.ops.geometry import depth2normals
 from pose3d_tpu.ops.patch import sample_patch, sample_patches
-from pose3d_tpu.ops.sphere import create_view_poses, elaz_sphere
+from pose3d_tpu.ops.sphere import create_view_poses
 from pose3d_tpu.render.mesh import Mesh, load_mesh
 
 log = logging.getLogger(__name__)
