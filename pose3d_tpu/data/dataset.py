@@ -219,15 +219,22 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     from pose3d_tpu.render.rasterizer_tiled import (max_tile_overlap,
                                                     render_view_tiled)
     fx, fy = float(cam[0, 0]), float(cam[1, 1])
+    # bucket the face count (pad with degenerate faces) so meshes of similar
+    # size share one compiled render program instead of recompiling per mesh
+    F = len(mesh.faces)
+    bucket = max(256, 1 << (F - 1).bit_length())
+    faces_np = np.concatenate(
+        [mesh.faces, np.zeros((bucket - F, 3), np.int32)]) \
+        if bucket > F else mesh.faces
     verts = jnp.asarray(mesh.vertices)
-    faces = jnp.asarray(mesh.faces)
+    faces = jnp.asarray(faces_np)
     colors = jnp.asarray(mesh.colors)
     K = jnp.asarray(cam)
 
     tile = 32
     overlap = max_tile_overlap(mesh.vertices, mesh.faces, mesh.colors,
                                poses[0], cam, sw, sh, x0, y0, tile)
-    capacity = max(256, int(overlap * 1.5))
+    capacity = max(256, int(np.ceil(overlap * 1.5 / 256)) * 256)
 
     @jax.jit
     def render_chunk(pose_chunk):

@@ -312,8 +312,56 @@ def load_mesh(path: str) -> Mesh:
     raise ValueError(f"unsupported mesh format: {path}")
 
 
-def make_test_mesh(kind: str = "cube", size: float = 0.1) -> Mesh:
-    """Procedural meshes for hermetic tests (no dataset download)."""
+def make_test_mesh(kind: str = "cube", size: float = 0.1,
+                   detail: int = 2) -> Mesh:
+    """Procedural meshes for hermetic tests and synthetic benchmarks (no
+    dataset download).  kinds: cube, tetra, sphere, cylinder, cone, torus.
+    Colors vary with geometry so views are visually distinguishable."""
+    if kind == "sphere":
+        v, f = _icosphere_mesh(detail)
+        v = (v * size / 2.0).astype(np.float32)
+        cols = (v / size + 0.5).astype(np.float32)
+        return Mesh(v, f, cols, vertex_normals(v, f))
+    if kind in ("cylinder", "cone"):
+        n = 8 * max(detail, 1)
+        top_r = 0.0 if kind == "cone" else size / 2.0
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        bot = np.stack([np.cos(ang) * size / 2, np.sin(ang) * size / 2,
+                        np.full(n, -size / 2)], axis=1)
+        top = np.stack([np.cos(ang) * top_r, np.sin(ang) * top_r,
+                        np.full(n, size / 2)], axis=1)
+        v = np.concatenate([bot, top,
+                            [[0, 0, -size / 2], [0, 0, size / 2]]])
+        f = []
+        for i in range(n):
+            j = (i + 1) % n
+            f += [(i, j, n + i), (j, n + j, n + i)]          # side
+            f += [(2 * n, j, i), (2 * n + 1, n + i, n + j)]  # caps
+        v = v.astype(np.float32)
+        f = np.asarray(f, np.int32)
+        cols = (v / size + 0.5).astype(np.float32)
+        return Mesh(v, f, cols, vertex_normals(v, f))
+    if kind == "torus":
+        n, m = 8 * max(detail, 1), 6 * max(detail, 1)
+        R, r = size / 2.5, size / 6.0
+        v = []
+        for i in range(n):
+            a = 2 * np.pi * i / n
+            for j in range(m):
+                b = 2 * np.pi * j / m
+                v.append([(R + r * np.cos(b)) * np.cos(a),
+                          (R + r * np.cos(b)) * np.sin(a),
+                          r * np.sin(b)])
+        f = []
+        for i in range(n):
+            for j in range(m):
+                a, b = i * m + j, i * m + (j + 1) % m
+                c, d = ((i + 1) % n) * m + j, ((i + 1) % n) * m + (j + 1) % m
+                f += [(a, b, c), (b, d, c)]
+        v = np.asarray(v, np.float32)
+        f = np.asarray(f, np.int32)
+        cols = (v / size + 0.5).astype(np.float32)
+        return Mesh(v, f, np.clip(cols, 0, 1), vertex_normals(v, f))
     s = size / 2.0
     if kind == "cube":
         v = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
@@ -335,3 +383,28 @@ def make_test_mesh(kind: str = "cube", size: float = 0.1) -> Mesh:
         cols = np.eye(4, 3, dtype=np.float32)[:, :3] * 0.8 + 0.1
         return Mesh(v, fcs, cols, vertex_normals(v, fcs))
     raise ValueError(kind)
+
+
+def _icosphere_mesh(subdiv: int):
+    """Icosphere with shared-vertex topology (verts on the unit sphere)."""
+    from pose3d_tpu.ops.sphere import _ICO_FACES, _ICO_VERTS
+    verts = [v / np.linalg.norm(v) for v in _ICO_VERTS]
+    faces = list(_ICO_FACES)
+    for _ in range(subdiv):
+        cache = {}
+        out = []
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                mdl = verts[a] + verts[b]
+                cache[key] = len(verts)
+                verts.append(mdl / np.linalg.norm(mdl))
+            return cache[key]
+
+        for (a, b, c) in faces:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            out += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
+        faces = out
+    return (np.stack(verts).astype(np.float32),
+            np.asarray(faces, np.int32))
