@@ -185,11 +185,13 @@ def extract_synth_samples_benjamin(path: str, cam: np.ndarray,
 
 def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
                          subdiv: int, inplane: bool,
-                         scale_z: float = 0.4) -> SampleSet:
+                         scale_z: float = 0.4,
+                         to_host: bool = True) -> SampleSet:
     """createSynthSamplesWadim (reference src/datasetmanager.cpp:498-537),
     rendering each view only inside the metric-crop window."""
     rots = (-45.0, 15.0, 45.0) if inplane else (0.0, 15.0, 10.0)
     poses, _ = create_view_poses(subdiv, (scale_z, 1.1, 1.0), rots, True)
+
 
     fx, fy = float(cam[0, 0]), float(cam[1, 1])
     ox, oy = float(cam[0, 2]), float(cam[1, 2])
@@ -201,7 +203,7 @@ def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
     y0 = int(oy) - sh // 2
 
     patches = _render_patches(mesh, cam, poses, sw, sh, x0, y0,
-                              ox, oy, scale_z)
+                              ox, oy, scale_z, to_host=to_host)
     labels = [pose_to_label(class_idx, T) for T in poses]
     return SampleSet(patches, np.stack(labels))
 
@@ -209,7 +211,8 @@ def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
 def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                     sw: int, sh: int, x0: int, y0: int,
                     ox: float, oy: float, z: float,
-                    views_per_call: int = 32) -> np.ndarray:
+                    views_per_call: int = 32,
+                    to_host: bool = True) -> np.ndarray:
     """Render -> normals -> patch for a pose batch, staying on device:
     one jitted lax.map per chunk of views instead of a dispatch per view.
 
@@ -257,9 +260,12 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
         pad = views_per_call - len(chunk)
         if pad:
             chunk = np.concatenate([chunk, np.tile(chunk[-1:], (pad, 1, 1))])
-        res = np.asarray(render_chunk(jnp.asarray(chunk)))
+        res = render_chunk(jnp.asarray(chunk))
         out.append(res[:views_per_call - pad])
-    return np.concatenate(out)
+    full = jnp.concatenate(out)
+    # keep generated patches on device unless the caller needs host arrays
+    # (through a slow tunnel the device->host fetch dominates generation)
+    return full if not to_host else np.asarray(full)
 
 
 def create_synth_samples_paul(mesh: Mesh, cam: np.ndarray, class_idx: int,

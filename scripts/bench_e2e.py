@@ -1,12 +1,14 @@
 """Full-scale end-to-end benchmark: 15 objects at the LineMOD geometry.
 
-Reproduces the reference's default workload shape hermetically: 15 objects,
-LineMOD intrinsics/scales, icosphere subdiv 2 templates (623 views) +
-subdiv 3 training (2412 views) per object, batch 300, the full metric
-protocol — generation, training rounds, and evaluation all timed on the
-TPU.  Writes a JSON summary.
+Reproduces the reference's default workload hermetically: 15 objects,
+LineMOD intrinsics/scales, icosphere subdiv-2 templates (623 views/object)
++ subdiv-3 training (2412 views/object), batch 300, the full protocol —
+with generation staying ON DEVICE straight into the training tensors
+(through a slow host link the device->host patch fetch otherwise dominates;
+the TPU-native pipeline never needs it).  Writes a JSON summary.
 
 Run: PYTHONPATH=. python scripts/bench_e2e.py [workdir] [--rounds N]
+     [--objects M] [--train-subdiv S]
 """
 
 import json
@@ -25,64 +27,78 @@ SHAPES = [("cube", 0.10, 2), ("tetra", 0.12, 2), ("sphere", 0.10, 3),
           ("sphere", 0.08, 2), ("cylinder", 0.08, 4), ("cube", 0.08, 2)]
 
 
-def main(base="/tmp/p3d_bench_e2e", rounds=3):
+def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3):
     import jax
     import jax.numpy as jnp
 
     from pose3d_tpu.config import Config
-    from pose3d_tpu.data.dataset import (DatasetManager, SampleSet,
-                                         create_synth_samples)
-    from pose3d_tpu.data import hdf5cache
+    from pose3d_tpu.data.dataset import DeviceData, create_synth_samples
     from pose3d_tpu.data.benchmarks import LINEMOD_K
     from pose3d_tpu.eval import evaluator
     from pose3d_tpu.models import NETWORKS
     from pose3d_tpu.models.manifold import descriptor_fn
+    from pose3d_tpu.ops import quaternion as Q
     from pose3d_tpu.render import make_test_mesh
     from pose3d_tpu.train.solver import Solver
 
-    names = [f"{k}{i}" for i, (k, _, _) in enumerate(SHAPES)]
-    hdf5 = os.path.join(base, "h5")
+    shapes = SHAPES[:n_objects]
+    names = [f"{k}{i}" for i, (k, _, _) in enumerate(shapes)]
     out = os.path.join(base, "out")
-    os.makedirs(hdf5, exist_ok=True)
+    os.makedirs(out, exist_ok=True)
 
-    cfg = Config(dataset_path=base, hdf5_path=hdf5 + "/", output_path=out
-                 + "/", models=names, used_models=names,
+    cfg = Config(dataset_path=base, hdf5_path=base + "/h5/",
+                 output_path=out + "/", models=names, used_models=names,
                  rot_inv=[0] * len(names), inplane=True, use_real=False,
                  random_background=3, net_name="manifold_rgbd_16",
                  num_epochs=1, num_training_rounds=rounds,
                  num_bootstrapping_rounds=1, log_epoch=10**9,
                  batch_size=300)
 
-    # ---- generation (synthetic-only: use_real=False still needs the real
-    # cache files to exist; write empty ones)
+    # ---- generation: straight to device tensors
     t0 = time.time()
+    tmpl_p, tmpl_l, train_p, train_l = [], [], [], []
     n_views = 0
-    for name, (kind, size, detail) in zip(names, SHAPES):
-        if hdf5cache.caches_exist(hdf5, name):
-            continue
+    for name, (kind, size, detail) in zip(names, shapes):
         mesh = make_test_mesh(kind, size, detail=detail)
         idx = cfg.model_index[name]
-        tmpl = create_synth_samples(mesh, LINEMOD_K, idx, 2, True)
-        synth = create_synth_samples(mesh, LINEMOD_K, idx, 3, True)
-        n_views += len(tmpl) + len(synth)
-        real_p, synth_p, tmpl_p = hdf5cache.cache_paths(hdf5, name)
-        hdf5cache.write_samples(real_p, np.zeros((0, 64, 64, 7), np.float32),
-                                np.zeros((0, 8), np.float32))
-        hdf5cache.write_samples(tmpl_p, tmpl.patches, tmpl.labels)
-        hdf5cache.write_samples(synth_p, synth.patches, synth.labels)
-        print(f"  generated {name}: {len(tmpl)}+{len(synth)} views "
+        tmpl = create_synth_samples(mesh, LINEMOD_K, idx, 2, True,
+                                    to_host=False)
+        synth = create_synth_samples(mesh, LINEMOD_K, idx, train_subdiv,
+                                     True, to_host=False)
+        n_views += len(tmpl.patches) + len(synth.patches)
+        tmpl_p.append(tmpl.patches)
+        tmpl_l.append(tmpl.labels)
+        train_p.append(synth.patches)
+        train_l.append(synth.labels)
+        print(f"  {name}: {len(tmpl.patches)}+{len(synth.patches)} views "
               f"({time.time()-t0:.0f}s)", flush=True)
     gen_s = time.time() - t0
 
     t0 = time.time()
-    db = DatasetManager(cfg)
-    db.generate_datasets()
-    # synthetic-only: use training split for "test" queries (protocol check)
-    data = db.to_device()
-    load_s = time.time() - t0
-    print(f"device sets: train {data.train_patches.shape} "
-          f"tmpl {data.tmpl_patches.shape} (gen {gen_s:.0f}s load "
-          f"{load_s:.0f}s)", flush=True)
+    tmpl_patches = jnp.stack(tmpl_p)
+    tmpl_labels = jnp.asarray(np.stack(tmpl_l))
+    train_patches = jnp.stack(train_p)
+    train_labels = jnp.asarray(np.stack(train_l))
+    O, T = tmpl_patches.shape[:2]
+    Ntr = train_patches.shape[1]
+
+    sims = jnp.stack([
+        Q.top2_similar_templates(train_labels[o, :, 1:5],
+                                 tmpl_labels[o, :, 1:5])
+        for o in range(O)])
+    elev = Q.elevation(tmpl_labels[..., 1:5])
+    data = DeviceData(
+        train_patches=train_patches, train_labels=train_labels,
+        tmpl_patches=tmpl_patches, tmpl_labels=tmpl_labels,
+        test_patches=tmpl_patches[:, :1], test_labels=tmpl_labels[:, :1],
+        max_sim_tmpl=sims, rot_inv=jnp.zeros((O,), jnp.int32),
+        elev_ok=jnp.abs(elev[:, :, None] - elev[:, None, :]) >= 0.2,
+        hard_negs=jnp.zeros((O, 1, 64, 64, 7)),
+        hard_neg_count=jnp.zeros((O,), jnp.int32))
+    tables_s = time.time() - t0
+    print(f"device sets: train {train_patches.shape} tmpl "
+          f"{tmpl_patches.shape} (gen {gen_s:.0f}s tables {tables_s:.0f}s)",
+          flush=True)
 
     t0 = time.time()
     solver = Solver(cfg, data)
@@ -106,20 +122,25 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3):
 
     summary = {
         "objects": len(names), "views_rendered": n_views,
-        "gen_seconds": round(gen_s, 1), "train_seconds": round(train_s, 1),
-        "eval_seconds": round(eval_s, 1), "train_iters": iters,
+        "train_subdiv": train_subdiv,
+        "gen_seconds": round(gen_s, 1),
+        "gen_views_per_s": round(n_views / max(gen_s, 1e-9), 1),
+        "train_seconds": round(train_s, 1), "eval_seconds": round(eval_s, 1),
+        "train_iters": iters,
         "train_samples_per_s": round(iters * 300 / max(train_s, 1e-9), 1),
         "histogram": {n: round(float(v), 4) for n, v in zip(names_h, hist)},
     }
-    os.makedirs(out, exist_ok=True)
     with open(os.path.join(out, "bench_e2e.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
-    base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/p3d_bench_e2e"
-    rounds = 3
-    if "--rounds" in sys.argv:
-        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])
-    main(base, rounds)
+    args = sys.argv[1:]
+    base = args[0] if args and not args[0].startswith("--") \
+        else "/tmp/p3d_bench_e2e"
+
+    def opt(name, default):
+        return int(args[args.index(name) + 1]) if name in args else default
+    main(base, opt("--rounds", 3), opt("--objects", 15),
+         opt("--train-subdiv", 3))

@@ -5,7 +5,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from pose3d_tpu.eval import evaluator
-from pose3d_tpu.ops import quaternion as Q
 
 BINS = [-1.0, 0.0, 10.0, 20.0, 40.0, 180.0]
 
@@ -13,7 +12,6 @@ BINS = [-1.0, 0.0, 10.0, 20.0, 40.0, 180.0]
 def golden_histogram(dq, dt, q_labels, t_labels, rot_inv, k=3):
     """Scalar transcription of the reference computeHistogram."""
     T_all = len(dt)
-    nr_tmpl = T_all  # flattened; class from label[0]
     # brute-force kNN by L2
     dist = np.linalg.norm(dq[:, None, :] - dt[None, :, :], axis=-1)
     order = np.argsort(dist, axis=1)[:, :k]
