@@ -98,10 +98,46 @@ class DeviceData:
         return self.tmpl_patches.shape[1]
 
 
+def poses_to_labels(class_idx: int, poses: np.ndarray) -> np.ndarray:
+    """Batched 8-float label construction [V, 4, 4] -> [V, 8] on host numpy
+    (one call, no per-pose device round trips — those cost seconds each
+    through a tunneled device)."""
+    poses = np.asarray(poses, np.float32).reshape(-1, 4, 4)
+    R = poses[:, :3, :3]
+    q = _quat_from_matrix_np(R)
+    inv_t = -np.einsum("nij,nj->ni", np.transpose(R, (0, 2, 1)),
+                       poses[:, :3, 3])
+    lab = np.empty((len(poses), 8), np.float32)
+    lab[:, 0] = class_idx
+    lab[:, 1:5] = q
+    lab[:, 5:8] = inv_t
+    return lab
+
+
+def _quat_from_matrix_np(R: np.ndarray) -> np.ndarray:
+    """NumPy twin of ops.quaternion.quat_from_matrix (x, y, z, w order)."""
+    m00, m01, m02 = R[:, 0, 0], R[:, 0, 1], R[:, 0, 2]
+    m10, m11, m12 = R[:, 1, 0], R[:, 1, 1], R[:, 1, 2]
+    m20, m21, m22 = R[:, 2, 0], R[:, 2, 1], R[:, 2, 2]
+    tr = m00 + m11 + m22
+    qw = np.stack([1.0 + tr, m21 - m12, m02 - m20, m10 - m01], axis=1)
+    qx = np.stack([m21 - m12, 1.0 + m00 - m11 - m22, m01 + m10, m02 + m20],
+                  axis=1)
+    qy = np.stack([m02 - m20, m01 + m10, 1.0 - m00 + m11 - m22, m12 + m21],
+                  axis=1)
+    qz = np.stack([m10 - m01, m02 + m20, m12 + m21, 1.0 - m00 - m11 + m22],
+                  axis=1)
+    cand = np.stack([qw, qx, qy, qz], axis=1)          # [N, 4, 4] (w,x,y,z)
+    pivots = np.stack([1.0 + tr, 1.0 + m00 - m11 - m22,
+                       1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22], axis=1)
+    best = np.argmax(pivots, axis=1)
+    chosen = cand[np.arange(len(R)), best]
+    wxyz = chosen / np.linalg.norm(chosen, axis=1, keepdims=True)
+    return np.concatenate([wxyz[:, 1:], wxyz[:, :1]], axis=1)
+
+
 def pose_to_label(class_idx: int, pose: np.ndarray) -> np.ndarray:
-    q = np.asarray(Q.quat_from_matrix(jnp.asarray(pose[:3, :3])))
-    inv_t = -(pose[:3, :3].T @ pose[:3, 3])
-    return hdf5cache.make_label(class_idx, q, inv_t)
+    return poses_to_labels(class_idx, np.asarray(pose)[None])[0]
 
 
 def extract_real_samples(bench: Benchmark, class_idx: int,
@@ -204,8 +240,7 @@ def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
 
     patches = _render_patches(mesh, cam, poses, sw, sh, x0, y0,
                               ox, oy, scale_z, to_host=to_host)
-    labels = [pose_to_label(class_idx, T) for T in poses]
-    return SampleSet(patches, np.stack(labels))
+    return SampleSet(patches, poses_to_labels(class_idx, poses))
 
 
 def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
@@ -308,8 +343,7 @@ def create_synth_samples_paul(mesh: Mesh, cam: np.ndarray, class_idx: int,
 
     patches = _render_patches(mesh, cam, np.stack(poses), sw, sh, x0, y0,
                               ox, oy, z)
-    labels = [pose_to_label(class_idx, T) for T in poses]
-    return SampleSet(patches, np.stack(labels))
+    return SampleSet(patches, poses_to_labels(class_idx, np.stack(poses)))
 
 
 class DatasetManager:
