@@ -121,41 +121,58 @@ def compute_knn_tables(apply_fn, params, train_patches: jnp.ndarray,
 
 # ---------------------------------------------------------------- histogram
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "query_chunk"))
 def _histogram_core(dq, dt, q_quat, t_quat, q_cls, t_cls, q_rotinv,
-                    k: int = 3):
+                    k: int = 3, query_chunk: int = 2048):
     """Device part of computeHistogram: for each query return
-    (best_dist_deg, best_found, exact_match)."""
-    _, idx = knn_ops.knn_l2(dq, dt, k=k)                     # [Q, k]
+    (best_dist_deg, best_found, exact_match).  Processes queries in chunks
+    so the [Q, T_all] angular-distance matrix stays bounded."""
 
-    cand_cls = t_cls[idx]                                    # [Q, k]
-    same = cand_cls == q_cls[:, None]
+    def block(args):
+        dqc, qq, qc, qr = args
+        _, idx = knn_ops.knn_l2(dqc, dt, k=k)                # [qc, k]
 
-    # angular (or elevation) distance to each candidate
-    cand_quat = t_quat[idx]                                  # [Q, k, 4]
-    ang = Q.angular_distance(q_quat[:, None, :], cand_quat)  # [Q, k] rad
-    elev_q = Q.elevation(q_quat)
-    elev_c = Q.elevation(cand_quat.reshape(-1, 4)).reshape(ang.shape)
-    eang = jnp.abs(elev_q[:, None] - elev_c)
-    dist = jnp.where(q_rotinv[:, None] != 0, eang, ang) * (180.0 / jnp.pi)
-    dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
-    dist = jnp.where(same, dist, jnp.inf)
+        cand_cls = t_cls[idx]
+        same = cand_cls == qc[:, None]
 
-    best_k = jnp.argmin(dist, axis=1)
-    best_dist = jnp.take_along_axis(dist, best_k[:, None], axis=1)[:, 0]
-    best_found = jnp.isfinite(best_dist)
-    best_idx = jnp.take_along_axis(idx, best_k[:, None], axis=1)[:, 0]
+        # angular (or elevation) distance to each candidate
+        cand_quat = t_quat[idx]                              # [qc, k, 4]
+        ang = Q.angular_distance(qq[:, None, :], cand_quat)
+        elev_q = Q.elevation(qq)
+        elev_c = Q.elevation(cand_quat.reshape(-1, 4)).reshape(ang.shape)
+        eang = jnp.abs(elev_q[:, None] - elev_c)
+        dist = jnp.where(qr[:, None] != 0, eang, ang) * (180.0 / jnp.pi)
+        dist = jnp.where(jnp.isnan(dist), jnp.inf, dist)
+        dist = jnp.where(same, dist, jnp.inf)
 
-    # exact match: no template of the best object is strictly closer in
-    # angular distance than the chosen one (reference :325-334)
-    full_ang = Q.pairwise_angular_distance(q_quat, t_quat)   # [Q, Tall] rad
-    best_obj = t_cls[best_idx]
-    block = t_cls[None, :] == best_obj[:, None]              # [Q, Tall]
-    d_best = jnp.take_along_axis(full_ang, best_idx[:, None], axis=1)[:, 0]
-    closer = jnp.any(jnp.where(block, full_ang, jnp.inf) < d_best[:, None],
-                     axis=1)
-    exact = best_found & ~closer
-    return best_dist, best_found, exact
+        best_k = jnp.argmin(dist, axis=1)
+        best_dist = jnp.take_along_axis(dist, best_k[:, None], axis=1)[:, 0]
+        best_found = jnp.isfinite(best_dist)
+        best_idx = jnp.take_along_axis(idx, best_k[:, None], axis=1)[:, 0]
+
+        # exact match: no template of the best object is strictly closer in
+        # angular distance than the chosen one (reference :325-334)
+        full_ang = Q.pairwise_angular_distance(qq, t_quat)   # [qc, Tall]
+        best_obj = t_cls[best_idx]
+        blk = t_cls[None, :] == best_obj[:, None]
+        d_best = jnp.take_along_axis(full_ang, best_idx[:, None],
+                                     axis=1)[:, 0]
+        closer = jnp.any(jnp.where(blk, full_ang, jnp.inf)
+                         < d_best[:, None], axis=1)
+        return best_dist, best_found, best_found & ~closer
+
+    Qn = dq.shape[0]
+    if Qn <= query_chunk:
+        return block((dq, q_quat, q_cls, q_rotinv))
+    pad = (-Qn) % query_chunk
+    parts = (jnp.pad(dq, ((0, pad), (0, 0))),
+             jnp.pad(q_quat, ((0, pad), (0, 0))),
+             jnp.pad(q_cls, (0, pad)),
+             jnp.pad(q_rotinv, (0, pad)))
+    parts = jax.tree.map(
+        lambda a: a.reshape((-1, query_chunk) + a.shape[1:]), parts)
+    bd, bf, ex = jax.lax.map(block, parts)
+    return (bd.reshape(-1)[:Qn], bf.reshape(-1)[:Qn], ex.reshape(-1)[:Qn])
 
 
 def compute_histogram(apply_fn, params, tmpl_patches, tmpl_labels,

@@ -21,20 +21,34 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "query_chunk"))
 def knn_l2(queries: jnp.ndarray, database: jnp.ndarray,
-           k: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
+           k: int = 3,
+           query_chunk: int = 4096) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact k nearest neighbors by L2 distance.
 
     queries [Q, D], database [T, D] -> (distances [Q, k] (true L2, sorted
-    ascending), indices [Q, k] int32).
+    ascending), indices [Q, k] int32).  Large query sets are processed in
+    ``query_chunk`` blocks (lax.map) so the [Q, T] distance matrix never
+    materializes whole — at LineMOD scale (35k x 9k) it would be GBs.
     """
-    qn = jnp.sum(queries * queries, axis=1, keepdims=True)        # [Q, 1]
     tn = jnp.sum(database * database, axis=1)[None, :]            # [1, T]
-    d2 = qn + tn - 2.0 * jnp.matmul(queries, database.T, precision="highest")
-    d2 = jnp.maximum(d2, 0.0)
-    neg, idx = jax.lax.top_k(-d2, k)
-    return jnp.sqrt(-neg), idx.astype(jnp.int32)
+
+    def block(q):
+        qn = jnp.sum(q * q, axis=1, keepdims=True)
+        d2 = qn + tn - 2.0 * jnp.matmul(q, database.T,
+                                        precision="highest")
+        neg, idx = jax.lax.top_k(-jnp.maximum(d2, 0.0), k)
+        return jnp.sqrt(-neg), idx.astype(jnp.int32)
+
+    Q = queries.shape[0]
+    if Q <= query_chunk:
+        return block(queries)
+    pad = (-Q) % query_chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    qp = qp.reshape(-1, query_chunk, queries.shape[1])
+    dist, idx = jax.lax.map(block, qp)
+    return (dist.reshape(-1, k)[:Q], idx.reshape(-1, k)[:Q])
 
 
 @partial(jax.jit, static_argnames=("k",))

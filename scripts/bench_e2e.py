@@ -77,7 +77,13 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3):
     t0 = time.time()
     tmpl_patches = jnp.stack(tmpl_p)
     tmpl_labels = jnp.asarray(np.stack(tmpl_l))
+    # free the per-object device arrays before stacking the (2x larger)
+    # training set, or the copies push HBM past 16 GB
+    del tmpl_p
+    tmpl_patches.block_until_ready()
     train_patches = jnp.stack(train_p)
+    del train_p
+    train_patches.block_until_ready()
     train_labels = jnp.asarray(np.stack(train_l))
     O, T = tmpl_patches.shape[:2]
     Ntr = train_patches.shape[1]
