@@ -308,12 +308,22 @@ class Solver:
         ``binarization_epochs`` epochs with BinarizationLoss."""
         cfg = self.cfg
         bin_spec = NETWORKS[cfg.binarization_net_name]
+        if bin_spec.in_channels != self.spec.in_channels:
+            raise ValueError(
+                f"binarization net {bin_spec.name!r} takes "
+                f"{bin_spec.in_channels} input channels but the trained "
+                f"trunk {self.spec.name!r} takes {self.spec.in_channels}; "
+                "the trunk weights cannot be shared (use a matching pair, "
+                "e.g. manifold_rgbdnor_16 + manifold_rgbdnor_16_bin)")
         key = jax.random.key(cfg.seed + 1)
         params = init_params(key, bin_spec)
-        # copy shared trunk weights from the trained net
+        # copy shared trunk weights from the trained net; deep-copy because
+        # the jitted step donates its state buffers — aliasing the caller's
+        # arrays would delete them out from under it
         for name in trunk_param_names(bin_spec):
             if name in trunk_state["params"]:
-                params[name] = trunk_state["params"][name]
+                params[name] = jax.tree.map(jnp.copy,
+                                            trunk_state["params"][name])
 
         tx = freeze_trunk(
             caffe_sgd(cfg.learning_rate, cfg.momentum, cfg.weight_decay,
