@@ -25,6 +25,10 @@ if "--cpu-baseline" in sys.argv:
     # config knob (pre-backend-init) does win
     jax.config.update("jax_platforms", "cpu")
 
+# reuse compiled programs across bench runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/p3d_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 
 

@@ -42,7 +42,11 @@ TRIPLET_SIZE = 5
 
 
 def _uniform_except(key: jax.Array, n: int, excl: jnp.ndarray) -> jnp.ndarray:
-    """Uniform int in [0, n) \\ {excl}, exactly (draw in [0, n-1), shift)."""
+    """Uniform int in [0, n) \\ {excl}, exactly (draw in [0, n-1), shift).
+    Degenerates to 0 when n == 1 (single-object runs: there is no "other
+    class"; the reference would spin forever here)."""
+    if n <= 1:
+        return jnp.zeros_like(excl)
     r = jax.random.randint(key, excl.shape, 0, n - 1)
     return r + (r >= excl)
 
@@ -140,14 +144,19 @@ def build_batch(key: jax.Array, it: jnp.ndarray, groups: int,
     kidx, kfill = jax.random.split(key)
     ix = batch_indices(kidx, it, groups, data, bootstrapping, knn_tables)
 
-    anchor = data.train_patches[ix["obj"], ix["pose"]]
-    puller = data.tmpl_patches[ix["obj"], ix["puller"]]
-    pusher0 = data.tmpl_patches[ix["obj"], ix["pusher0"]]
-    negs = data.hard_negs[ix["obj"], ix["neg_idx"]]
+    # gathers stay in the storage dtype (bf16 halves resident HBM); the
+    # batch is promoted to f32 right after for augmentation + the model
+    anchor = data.train_patches[ix["obj"], ix["pose"]].astype(jnp.float32)
+    puller = data.tmpl_patches[ix["obj"], ix["puller"]].astype(jnp.float32)
+    pusher0 = data.tmpl_patches[ix["obj"],
+                                ix["pusher0"]].astype(jnp.float32)
+    negs = data.hard_negs[ix["obj"], ix["neg_idx"]].astype(jnp.float32)
     pusher0 = jnp.where(ix["pusher0_is_neg"][:, None, None, None],
                         negs, pusher0)
-    pusher1 = data.tmpl_patches[ix["pusher1_obj"], ix["pusher1_pose"]]
-    pusher2 = data.tmpl_patches[ix["pusher2_obj"], ix["pusher2_pose"]]
+    pusher1 = data.tmpl_patches[ix["pusher1_obj"],
+                                ix["pusher1_pose"]].astype(jnp.float32)
+    pusher2 = data.tmpl_patches[ix["pusher2_obj"],
+                                ix["pusher2_pose"]].astype(jnp.float32)
 
     if random_background != 0:
         anchor = random_fill(kfill, anchor, random_background, bg_bank,

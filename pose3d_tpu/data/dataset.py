@@ -473,13 +473,20 @@ class DatasetManager:
                 log.warning("%s not found!", p)
 
     # ----------------------------------------------------- device assembly
-    def to_device(self) -> DeviceData:
+    def to_device(self, storage_dtype=None) -> DeviceData:
+        """Assemble the device-resident tensors.  ``storage_dtype=
+        jnp.bfloat16`` halves the resident sample memory (the batcher
+        promotes gathered batches back to f32)."""
         cfg = self.cfg
-        train_p = jnp.asarray(np.stack([s.patches for s in self.training_set]))
+        sd = storage_dtype or jnp.float32
+        train_p = jnp.asarray(
+            np.stack([s.patches for s in self.training_set]), sd)
         train_l = jnp.asarray(np.stack([s.labels for s in self.training_set]))
-        tmpl_p = jnp.asarray(np.stack([s.patches for s in self.template_set]))
+        tmpl_p = jnp.asarray(
+            np.stack([s.patches for s in self.template_set]), sd)
         tmpl_l = jnp.asarray(np.stack([s.labels for s in self.template_set]))
-        test_p = jnp.asarray(np.stack([s.patches for s in self.test_set]))
+        test_p = jnp.asarray(
+            np.stack([s.patches for s in self.test_set]), sd)
         test_l = jnp.asarray(np.stack([s.labels for s in self.test_set]))
 
         # top-2 similar templates, per object (one-shot XLA programs)

@@ -63,7 +63,7 @@ def compute_descriptors(apply_fn: Callable, params, patches: jnp.ndarray,
     fn = jax.jit(apply_fn)
     outs = []
     for s in range(0, N, batch_size):
-        chunk = patches[s:s + batch_size]
+        chunk = patches[s:s + batch_size].astype(jnp.float32)
         pad = batch_size - chunk.shape[0]
         if pad:
             chunk = jnp.concatenate(

@@ -51,20 +51,33 @@ def knn_l2(queries: jnp.ndarray, database: jnp.ndarray,
     return (dist.reshape(-1, k)[:Q], idx.reshape(-1, k)[:Q])
 
 
-@partial(jax.jit, static_argnames=("k",))
+@partial(jax.jit, static_argnames=("k", "query_chunk"))
 def knn_hamming(queries: jnp.ndarray, database: jnp.ndarray,
-                k: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                k: int = 3,
+                query_chunk: int = 4096) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact kNN in Hamming space for binary codes in {0, 1}.
 
     Uses ``hamming = (B - <s_q, s_t>) / 2`` with s = 2b - 1, so the search is
     one matmul.  queries [Q, B], database [T, B] -> (dist [Q, k], idx [Q, k]).
+    Query axis chunked like knn_l2 to bound the [Q, T] matrix.
     """
-    sq = 2.0 * queries - 1.0
     st = 2.0 * database - 1.0
     B = queries.shape[1]
-    ham = (B - jnp.matmul(sq, st.T, precision="highest")) * 0.5
-    neg, idx = jax.lax.top_k(-ham, k)
-    return -neg, idx.astype(jnp.int32)
+
+    def block(q):
+        sq = 2.0 * q - 1.0
+        ham = (B - jnp.matmul(sq, st.T, precision="highest")) * 0.5
+        neg, idx = jax.lax.top_k(-ham, k)
+        return -neg, idx.astype(jnp.int32)
+
+    Q = queries.shape[0]
+    if Q <= query_chunk:
+        return block(queries)
+    pad = (-Q) % query_chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    qp = qp.reshape(-1, query_chunk, B)
+    dist, idx = jax.lax.map(block, qp)
+    return dist.reshape(-1, k)[:Q], idx.reshape(-1, k)[:Q]
 
 
 def pairwise_l2sq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -75,6 +75,10 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3):
     gen_s = time.time() - t0
 
     t0 = time.time()
+    # bf16 sample storage halves resident HBM: the 15-object subdiv-3 set
+    # does not fit in f32 on this chip
+    tmpl_p = [t.astype(jnp.bfloat16) for t in tmpl_p]
+    train_p = [t.astype(jnp.bfloat16) for t in train_p]
     tmpl_patches = jnp.stack(tmpl_p)
     tmpl_labels = jnp.asarray(np.stack(tmpl_l))
     # free the per-object device arrays before stacking the (2x larger)
