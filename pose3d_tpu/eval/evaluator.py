@@ -75,6 +75,19 @@ def compute_descriptors(apply_fn: Callable, params, patches: jnp.ndarray,
     return jnp.concatenate(outs)
 
 
+def binary_descriptor_fn(apply_fn: Callable) -> Callable:
+    """Wrap a binarization-head forward into a {0,1}-code extractor.
+
+    For codes in {0,1}, squared L2 equals Hamming distance, so the binary
+    codes flow through the same kNN/histogram/confusion machinery and the
+    retrieval is exactly the reference's Hamming evaluation of the 128-bit
+    head (network/manifold_rgbdnor_16_bin.prototxt)."""
+    def fn(params, patches):
+        logits = apply_fn(params, patches)
+        return (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+    return fn
+
+
 def _flat(tset: jnp.ndarray) -> jnp.ndarray:
     """[O, N, ...] -> [O*N, ...] (linearId = obj * N + idx, matching the
     reference's DBfeats stacking order)."""
