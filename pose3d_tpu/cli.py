@@ -65,7 +65,7 @@ def cmd_binarize(args) -> int:
 def cmd_eval(args) -> int:
     from pose3d_tpu.config import load_config
     from pose3d_tpu.eval import evaluator
-    from pose3d_tpu.models import NETWORKS
+    from pose3d_tpu.models import NETWORKS, apply
     from pose3d_tpu.models.manifold import descriptor_fn
     from pose3d_tpu.train import checkpoint
     from pose3d_tpu.train.solver import Solver
@@ -73,13 +73,40 @@ def cmd_eval(args) -> int:
     db = _build_db(cfg)
     data = db.to_device()
     solver = Solver(cfg, data)
-    found = checkpoint.latest(cfg.output_path, cfg.net_name)
-    if not found:
-        print(f"no snapshot for {cfg.net_name} in {cfg.output_path}",
-              file=sys.stderr)
-        return 1
-    state = checkpoint.restore(found[0], solver.init_state())
-    fn = descriptor_fn(NETWORKS[cfg.net_name])
+
+    if getattr(args, "hamming", False):
+        # binary 128-bit retrieval from the binarization-head snapshot
+        bin_name = cfg.binarization_net_name
+        found = checkpoint.latest(cfg.output_path, bin_name)
+        if not found:
+            print(f"no snapshot for {bin_name} in {cfg.output_path}",
+                  file=sys.stderr)
+            return 1
+        import jax
+        import jax.numpy as jnp
+        from pose3d_tpu.models import init_params
+        from pose3d_tpu.models.manifold import trunk_param_names
+        from pose3d_tpu.train.optim import caffe_sgd, freeze_trunk
+        spec = NETWORKS[bin_name]
+        params0 = init_params(jax.random.key(cfg.seed + 1), spec)
+        tx = freeze_trunk(
+            caffe_sgd(cfg.learning_rate, cfg.momentum, cfg.weight_decay,
+                      cfg.learning_policy, cfg.step_size, cfg.gamma),
+            trunk_param_names(spec))
+        template = {"params": params0, "opt": tx.init(params0),
+                    "key": jax.random.key(cfg.seed + 1),
+                    "iter": jnp.zeros((), jnp.int32)}
+        state = checkpoint.restore(found[0], template)
+        fn = evaluator.binary_descriptor_fn(
+            lambda p, x: apply(p, spec, x, bin_head=True))
+    else:
+        found = checkpoint.latest(cfg.output_path, cfg.net_name)
+        if not found:
+            print(f"no snapshot for {cfg.net_name} in {cfg.output_path}",
+                  file=sys.stderr)
+            return 1
+        state = checkpoint.restore(found[0], solver.init_state())
+        fn = descriptor_fn(NETWORKS[cfg.net_name])
 
     hist = evaluator.compute_histogram(
         fn, state["params"], data.tmpl_patches, data.tmpl_labels,
@@ -148,6 +175,8 @@ def main(argv=None) -> int:
 
     e = sub.add_parser("eval", help="histogram + confusion from a snapshot")
     e.add_argument("config")
+    e.add_argument("--hamming", action="store_true",
+                   help="evaluate the binarized 128-bit head (Hamming kNN)")
     e.set_defaults(fn=cmd_eval)
 
     r = sub.add_parser("render", help="render template views to npz")

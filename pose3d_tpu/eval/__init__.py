@@ -1,6 +1,6 @@
 """Evaluation: descriptor extraction, kNN metrics, histograms, TSV logs."""
 
 from pose3d_tpu.eval.evaluator import (  # noqa: F401
-    compute_descriptors, compute_knn_tables, compute_histogram,
-    compute_confusion_matrix, compute_knn_accuracy, compute_manifold,
-    save_log, save_confusion_matrix, HISTOGRAM_BINS)
+    binary_descriptor_fn, compute_descriptors, compute_knn_tables,
+    compute_histogram, compute_confusion_matrix, compute_knn_accuracy,
+    compute_manifold, save_log, save_confusion_matrix, HISTOGRAM_BINS)
