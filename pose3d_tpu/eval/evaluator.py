@@ -316,6 +316,28 @@ def save_log(output_path: str, log_name: str, test_hist: np.ndarray,
     return path
 
 
+def save_tensorboard_scalars(output_path: str, log_name: str,
+                             test_hist: np.ndarray, train_hist: np.ndarray,
+                             iteration: int,
+                             bins: Sequence[float] = HISTOGRAM_BINS) -> bool:
+    """Mirror the TSV log rows as TensorBoard scalars (optional aux
+    observability, SURVEY.md §5).  Uses torch.utils.tensorboard when
+    available; returns False (no-op) otherwise."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+    except Exception:
+        return False
+    writer = SummaryWriter(os.path.join(output_path, "tb",
+                                        log_name.replace(".", "_")))
+    names = [f"lt_{b:g}" for b in bins] + ["mean", "median"]
+    for mod, hist in (("test", test_hist), ("train", train_hist)):
+        for name, v in zip(names, list(hist[:len(bins)]) + [hist[-2],
+                                                            hist[-1]]):
+            writer.add_scalar(f"{mod}/{name}", float(v), iteration)
+    writer.close()
+    return True
+
+
 def save_confusion_matrix(output_path: str, log_name: str,
                           conf: np.ndarray, iteration: int) -> str:
     """Append the row-normalized confusion matrix to ``cm<log_name>``.

@@ -221,6 +221,8 @@ class Solver:
                            train_hist, iteration, elapsed,
                            self.data.nr_objects,
                            self.data.nr_training_poses)
+        evaluator.save_tensorboard_scalars(cfg.output_path, cfg.log_name,
+                                           test_hist, train_hist, iteration)
         local_index = {m: i for i, m in enumerate(cfg.used_models)}
         # reference quirk kept: the confusion matrix is computed on the
         # training set (src/networkevaluator.cpp:390)
