@@ -68,8 +68,8 @@ NETWORKS: Dict[str, NetSpec] = {
     "manifold_rgb_16": NetSpec("manifold_rgb_16", _RGB, "elu", 16, 300),
     # network/manifold_rgbd_16.prototxt — PReLU, RGB-D (the config.ini default)
     "manifold_rgbd_16": NetSpec("manifold_rgbd_16", _RGBD, "prelu", 16, 300),
-    # network/manifold_rgbnor_16.prototxt — PReLU, RGB + normals
-    "manifold_rgbnor_16": NetSpec("manifold_rgbnor_16", _RGBNOR, "prelu", 16,
+    # network/manifold_rgbnor_16.prototxt — ELU, RGB + normals
+    "manifold_rgbnor_16": NetSpec("manifold_rgbnor_16", _RGBNOR, "elu", 16,
                                   300),
     # network/manifold_rgbdnor_16.prototxt — ELU, all 7 channels
     "manifold_rgbdnor_16": NetSpec("manifold_rgbdnor_16", _ALL7, "elu", 16,

@@ -39,6 +39,7 @@ from pose3d_tpu.data.batcher import TRIPLET_SIZE, build_batch, epoch_iters
 from pose3d_tpu.data.dataset import DeviceData
 from pose3d_tpu.eval import evaluator
 from pose3d_tpu.models import NETWORKS, NetSpec, apply, init_params, losses
+from pose3d_tpu.models.prototxt import load_spec
 from pose3d_tpu.models.manifold import (descriptor_fn,
                                         precision_from_config,
                                         trunk_param_names)
@@ -56,7 +57,9 @@ class Solver:
         self.cfg = cfg
         self.data = data
         self.bg_bank = bg_bank
-        self.spec: NetSpec = NETWORKS[cfg.net_name]
+        # honor [paths] network_path prototxts like the reference; fall
+        # back to the built-in registry
+        self.spec: NetSpec = load_spec(cfg.network_path, cfg.net_name)
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.data_parallel)
         self.batch_size = cfg.batch_size or self.spec.batch_size
@@ -309,7 +312,7 @@ class Solver:
         trunk weights from the trained descriptor net, run
         ``binarization_epochs`` epochs with BinarizationLoss."""
         cfg = self.cfg
-        bin_spec = NETWORKS[cfg.binarization_net_name]
+        bin_spec = load_spec(cfg.network_path, cfg.binarization_net_name)
         if bin_spec.in_channels != self.spec.in_channels:
             raise ValueError(
                 f"binarization net {bin_spec.name!r} takes "
