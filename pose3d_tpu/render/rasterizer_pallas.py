@@ -172,3 +172,171 @@ def render_view_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     depth = depth_t.reshape(-1)[:P].reshape(height, width)
     color = color_t.transpose(0, 2, 3, 1).reshape(-1, 3)[:P]
     return color.reshape(height, width, 3), depth
+
+
+# ----------------------------------------------------------- tiled + Pallas
+
+def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float):
+    """Kernel for the culled path: pixel coordinates derived from the tile
+    index (grid dim 0); faces are this tile's culled chunk (grid dim 1)."""
+
+    def kernel(m_ref, depth_ref, color_ref, accd, accc):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _init():
+            accd[:] = jnp.full_like(accd, jnp.inf)
+            accc[:] = jnp.zeros_like(accc)
+
+        ty = (i // tiles_x).astype(jnp.float32)
+        tx = (i % tiles_x).astype(jnp.float32)
+        p = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1),
+                                     0)[:, 0]
+        qx = tx * tile + (p % tile).astype(jnp.float32) + 0.5 + x0f
+        qy = ty * tile + (p // tile).astype(jnp.float32) + 0.5 + y0f
+        pix = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=1)
+
+        vals = jnp.dot(pix, m_ref[0], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        fc = vals.shape[1] // 8
+        w0 = vals[:, 0 * fc:1 * fc]
+        w1 = vals[:, 1 * fc:2 * fc]
+        w2 = vals[:, 2 * fc:3 * fc]
+        za = vals[:, 3 * fc:4 * fc]
+        cb = vals[:, 4 * fc:5 * fc]
+        cg = vals[:, 5 * fc:6 * fc]
+        cr = vals[:, 6 * fc:7 * fc]
+        ar = vals[:, 7 * fc:8 * fc]
+
+        s = jnp.sign(ar)
+        tol = 1e-4 * jnp.abs(ar)
+        inside = ((w0 * s >= -tol) & (w1 * s >= -tol) & (w2 * s >= -tol) &
+                  (jnp.abs(ar) > _EPS_AREA))
+        zden = jnp.where(za != 0.0, za, 1.0)
+        depth = ar / zden
+        ok = inside & (depth > NEAR) & (depth <= FAR) & (za * s > 0)
+        depth = jnp.where(ok, depth, jnp.inf)
+
+        d = jnp.min(depth, axis=1)
+        arg = jnp.argmin(depth, axis=1)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1)
+                  == arg[:, None])
+        zsel = jnp.sum(jnp.where(onehot, zden, 0.0), axis=1)
+        zsel = jnp.where(zsel != 0.0, zsel, 1.0)
+        csel = [jnp.sum(jnp.where(onehot, c, 0.0), axis=1) / zsel
+                for c in (cb, cg, cr)]
+
+        sub = tile * tile // 128
+        d2 = d.reshape(sub, 128)
+        prev = accd[:]
+        better = d2 < prev
+        accd[:] = jnp.where(better, d2, prev)
+        cstack = jnp.stack([c.reshape(sub, 128) for c in csel])
+        accc[:] = jnp.where(better[None], cstack, accc[:])
+
+        @pl.when(j == nj - 1)
+        def _emit():
+            final = accd[:]
+            depth_ref[0] = jnp.where(jnp.isinf(final), 0.0, final)
+            color_ref[0] = accc[:]
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
+                                   "face_chunk", "interpret"))
+def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
+                             colors: jnp.ndarray, pose: jnp.ndarray,
+                             K: jnp.ndarray, width: int, height: int,
+                             x0: int = 0, y0: int = 0, tile: int = 32,
+                             capacity: int = 1024, face_chunk: int = 128,
+                             interpret: bool = False):
+    """Tile-culled rasterization with the Pallas inner loop.
+
+    XLA does the per-tile face binning (bbox overlap + top_k gather, as in
+    rasterizer_tiled.py); the z-buffer loop runs in VMEM with persistent
+    accumulators.  Same contract/outputs as render_view.
+    """
+    from pose3d_tpu.render.rasterizer_tiled import _project_and_pack
+
+    cx_shift = x0 + width * 0.5
+    cy_shift = y0 + height * 0.5
+    M, area, valid, bb_min, bb_max = _project_and_pack(
+        vertices, faces, colors, pose, K, cx_shift, cy_shift)
+    area = jnp.where(valid, area, 0.0)
+    arow = jnp.concatenate([jnp.zeros((len(area), 1, 2)),
+                            area[:, None, None]], axis=2)
+    M8 = jnp.concatenate([M, arow], axis=1)                  # [F, 8, 3]
+
+    F = M8.shape[0]
+    capacity = min(((capacity + face_chunk - 1) // face_chunk) * face_chunk,
+                   ((F + face_chunk - 1) // face_chunk) * face_chunk)
+    padF = (-F) % capacity if F < capacity else (-F) % face_chunk
+    if padF:
+        M8 = jnp.pad(M8, ((0, padF), (0, 0), (0, 0)))
+        bb_min = jnp.pad(bb_min, ((0, padF), (0, 0)), constant_values=1e9)
+        bb_max = jnp.pad(bb_max, ((0, padF), (0, 0)), constant_values=-1e9)
+        valid = jnp.pad(valid, (0, padF))
+
+    tiles_x = (width + tile - 1) // tile
+    tiles_y = (height + tile - 1) // tile
+    n_tiles = tiles_x * tiles_y
+    tx0 = (jnp.arange(tiles_x) * tile + x0 - cx_shift).astype(jnp.float32)
+    ty0 = (jnp.arange(tiles_y) * tile + y0 - cy_shift).astype(jnp.float32)
+
+    def bin_tile(t):
+        ty = t // tiles_x
+        tx = t % tiles_x
+        lo_x, lo_y = tx0[tx], ty0[ty]
+        overlap = ((bb_max[:, 0] >= lo_x) & (bb_min[:, 0] < lo_x + tile) &
+                   (bb_max[:, 1] >= lo_y) & (bb_min[:, 1] < lo_y + tile) &
+                   valid)
+        score, idx = jax.lax.top_k(overlap.astype(jnp.int32), capacity)
+        Mt = M8[idx]                                       # [cap, 8, 3]
+        Mt = Mt * (score > 0).astype(Mt.dtype)[:, None, None]
+        # attribute-major chunk packing: [chunks, 8, Fc, 3] -> [3, cap*8]
+        n_chunks = capacity // face_chunk
+        Mt = Mt.reshape(n_chunks, face_chunk, 8, 3).transpose(0, 2, 1, 3)
+        return Mt.reshape(-1, 3).T                          # [3, cap*8]
+
+    m_tiles = jax.lax.map(bin_tile, jnp.arange(n_tiles))    # [T, 3, cap*8]
+
+    sub = tile * tile // 128
+    kernel = _make_tile_kernel(tiles_x, tile,
+                               float(x0) - cx_shift, float(y0) - cy_shift)
+    n_chunks = capacity // face_chunk
+    depth_t, color_t = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 3, 8 * face_chunk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, sub, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, sub, 128), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 3, sub, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((sub, 128), jnp.float32),
+            pltpu.VMEM((3, sub, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(m_tiles)
+
+    # stitch tiles back
+    depth = depth_t.reshape(tiles_y, tiles_x, tile, tile)
+    depth = depth.transpose(0, 2, 1, 3).reshape(tiles_y * tile,
+                                                tiles_x * tile)
+    color = color_t.transpose(0, 2, 3, 1).reshape(tiles_y, tiles_x, tile,
+                                                  tile, 3)
+    color = color.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile,
+                                                   tiles_x * tile, 3)
+    return color[:height, :width], depth[:height, :width]

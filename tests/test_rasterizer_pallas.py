@@ -27,6 +27,24 @@ def test_pallas_matches_brute_force():
     np.testing.assert_allclose(np.asarray(colp), np.asarray(colb), atol=1e-5)
 
 
+def test_tiled_pallas_matches_tiled_xla():
+    from pose3d_tpu.render.rasterizer_pallas import render_view_tiled_pallas
+    from pose3d_tpu.render.rasterizer_tiled import render_view_tiled
+    mesh = make_test_mesh("cube", 0.1)
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 0.4
+    args = (jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+            jnp.asarray(mesh.colors), jnp.asarray(T), K)
+    colx, depx = render_view_tiled(*args, width=64, height=64, tile=32,
+                                   capacity=16, face_chunk=8)
+    colp, depp = render_view_tiled_pallas(*args, width=64, height=64,
+                                          tile=32, capacity=128,
+                                          face_chunk=128,
+                                          interpret=_interp())
+    np.testing.assert_allclose(np.asarray(depp), np.asarray(depx), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(colp), np.asarray(colx), atol=1e-5)
+
+
 def test_pallas_window_offset():
     mesh = make_test_mesh("tetra", 0.12)
     T = np.eye(4, dtype=np.float32)
