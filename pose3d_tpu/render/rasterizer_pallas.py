@@ -176,11 +176,15 @@ def render_view_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
 
 # ----------------------------------------------------------- tiled + Pallas
 
-def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float):
+def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
+                      face_chunk: int):
     """Kernel for the culled path: pixel coordinates derived from the tile
-    index (grid dim 0); faces are this tile's culled chunk (grid dim 1)."""
+    index (grid dim 0); faces are this tile's culled chunk (grid dim 1).
+    ``counts_ref`` (scalar prefetch) holds the true face count per tile so
+    chunks past it are skipped — tiles outside the silhouette cost only
+    init + emit."""
 
-    def kernel(m_ref, depth_ref, color_ref, accd, accc):
+    def kernel(counts_ref, m_ref, depth_ref, color_ref, accd, accc):
         i = pl.program_id(0)
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -190,51 +194,54 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float):
             accd[:] = jnp.full_like(accd, jnp.inf)
             accc[:] = jnp.zeros_like(accc)
 
-        ty = (i // tiles_x).astype(jnp.float32)
-        tx = (i % tiles_x).astype(jnp.float32)
-        p = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1),
-                                     0)[:, 0]
-        qx = tx * tile + (p % tile).astype(jnp.float32) + 0.5 + x0f
-        qy = ty * tile + (p // tile).astype(jnp.float32) + 0.5 + y0f
-        pix = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=1)
+        @pl.when(j * face_chunk < counts_ref[i])
+        def _work():
+            ty = (i // tiles_x).astype(jnp.float32)
+            tx = (i % tiles_x).astype(jnp.float32)
+            p = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1),
+                                         0)[:, 0]
+            qx = tx * tile + (p % tile).astype(jnp.float32) + 0.5 + x0f
+            qy = ty * tile + (p // tile).astype(jnp.float32) + 0.5 + y0f
+            pix = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=1)
 
-        vals = jnp.dot(pix, m_ref[0], preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
-        fc = vals.shape[1] // 8
-        w0 = vals[:, 0 * fc:1 * fc]
-        w1 = vals[:, 1 * fc:2 * fc]
-        w2 = vals[:, 2 * fc:3 * fc]
-        za = vals[:, 3 * fc:4 * fc]
-        cb = vals[:, 4 * fc:5 * fc]
-        cg = vals[:, 5 * fc:6 * fc]
-        cr = vals[:, 6 * fc:7 * fc]
-        ar = vals[:, 7 * fc:8 * fc]
+            vals = jnp.dot(pix, m_ref[0],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            fc = vals.shape[1] // 8
+            w0 = vals[:, 0 * fc:1 * fc]
+            w1 = vals[:, 1 * fc:2 * fc]
+            w2 = vals[:, 2 * fc:3 * fc]
+            za = vals[:, 3 * fc:4 * fc]
+            cb = vals[:, 4 * fc:5 * fc]
+            cg = vals[:, 5 * fc:6 * fc]
+            cr = vals[:, 6 * fc:7 * fc]
+            ar = vals[:, 7 * fc:8 * fc]
 
-        s = jnp.sign(ar)
-        tol = 1e-4 * jnp.abs(ar)
-        inside = ((w0 * s >= -tol) & (w1 * s >= -tol) & (w2 * s >= -tol) &
-                  (jnp.abs(ar) > _EPS_AREA))
-        zden = jnp.where(za != 0.0, za, 1.0)
-        depth = ar / zden
-        ok = inside & (depth > NEAR) & (depth <= FAR) & (za * s > 0)
-        depth = jnp.where(ok, depth, jnp.inf)
+            s = jnp.sign(ar)
+            tol = 1e-4 * jnp.abs(ar)
+            inside = ((w0 * s >= -tol) & (w1 * s >= -tol) &
+                      (w2 * s >= -tol) & (jnp.abs(ar) > _EPS_AREA))
+            zden = jnp.where(za != 0.0, za, 1.0)
+            depth = ar / zden
+            ok = inside & (depth > NEAR) & (depth <= FAR) & (za * s > 0)
+            depth = jnp.where(ok, depth, jnp.inf)
 
-        d = jnp.min(depth, axis=1)
-        arg = jnp.argmin(depth, axis=1)
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1)
-                  == arg[:, None])
-        zsel = jnp.sum(jnp.where(onehot, zden, 0.0), axis=1)
-        zsel = jnp.where(zsel != 0.0, zsel, 1.0)
-        csel = [jnp.sum(jnp.where(onehot, c, 0.0), axis=1) / zsel
-                for c in (cb, cg, cr)]
+            d = jnp.min(depth, axis=1)
+            arg = jnp.argmin(depth, axis=1)
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1)
+                      == arg[:, None])
+            zsel = jnp.sum(jnp.where(onehot, zden, 0.0), axis=1)
+            zsel = jnp.where(zsel != 0.0, zsel, 1.0)
+            csel = [jnp.sum(jnp.where(onehot, c, 0.0), axis=1) / zsel
+                    for c in (cb, cg, cr)]
 
-        sub = tile * tile // 128
-        d2 = d.reshape(sub, 128)
-        prev = accd[:]
-        better = d2 < prev
-        accd[:] = jnp.where(better, d2, prev)
-        cstack = jnp.stack([c.reshape(sub, 128) for c in csel])
-        accc[:] = jnp.where(better[None], cstack, accc[:])
+            sub = tile * tile // 128
+            d2 = d.reshape(sub, 128)
+            prev = accd[:]
+            better = d2 < prev
+            accd[:] = jnp.where(better, d2, prev)
+            cstack = jnp.stack([c.reshape(sub, 128) for c in csel])
+            accc[:] = jnp.where(better[None], cstack, accc[:])
 
         @pl.when(j == nj - 1)
         def _emit():
@@ -294,42 +301,48 @@ def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
                    (bb_max[:, 1] >= lo_y) & (bb_min[:, 1] < lo_y + tile) &
                    valid)
         score, idx = jax.lax.top_k(overlap.astype(jnp.int32), capacity)
+        count = jnp.sum(score).astype(jnp.int32)
         Mt = M8[idx]                                       # [cap, 8, 3]
         Mt = Mt * (score > 0).astype(Mt.dtype)[:, None, None]
         # attribute-major chunk packing: [chunks, 8, Fc, 3] -> [3, cap*8]
         n_chunks = capacity // face_chunk
         Mt = Mt.reshape(n_chunks, face_chunk, 8, 3).transpose(0, 2, 1, 3)
-        return Mt.reshape(-1, 3).T                          # [3, cap*8]
+        return Mt.reshape(-1, 3).T, count                   # [3, cap*8]
 
-    m_tiles = jax.lax.map(bin_tile, jnp.arange(n_tiles))    # [T, 3, cap*8]
+    m_tiles, counts = jax.lax.map(bin_tile, jnp.arange(n_tiles))
 
     sub = tile * tile // 128
     kernel = _make_tile_kernel(tiles_x, tile,
-                               float(x0) - cx_shift, float(y0) - cy_shift)
+                               float(x0) - cx_shift, float(y0) - cy_shift,
+                               face_chunk)
     n_chunks = capacity // face_chunk
-    depth_t, color_t = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 3, 8 * face_chunk), lambda i, j: (i, 0, j),
+            pl.BlockSpec((1, 3, 8 * face_chunk), lambda i, j, *_: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, sub, 128), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, sub, 128), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, 3, sub, 128), lambda i, j, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 3, sub, 128), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((sub, 128), jnp.float32),
             pltpu.VMEM((3, sub, 128), jnp.float32),
         ],
+    )
+    depth_t, color_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 3, sub, 128), jnp.float32),
+        ],
         interpret=interpret,
-    )(m_tiles)
+    )(counts, m_tiles)
 
     # stitch tiles back
     depth = depth_t.reshape(tiles_y, tiles_x, tile, tile)
