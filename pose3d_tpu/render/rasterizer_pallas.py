@@ -253,7 +253,7 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
-                                   "face_chunk", "interpret"))
+                                   "face_chunk", "interpret", "x0", "y0"))
 def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
                              colors: jnp.ndarray, pose: jnp.ndarray,
                              K: jnp.ndarray, width: int, height: int,
