@@ -39,9 +39,32 @@ def cmd_train(args) -> int:
     cfg = load_config(args.config)
     db = _build_db(cfg)
     solver = Solver(cfg, db.to_device(), bg_bank=_bank(cfg))
-    state = solver.train(resume_iter=args.resume_iter)
+    state = solver.train(resume_iter=args.resume_iter,
+                         weights=getattr(args, "weights", None))
     if cfg.binarization:
         solver.binarize(state)
+    return 0
+
+
+def cmd_export_weights(args) -> int:
+    """Export the latest snapshot as a Caffe-readable .caffemodel[.h5]."""
+    from pose3d_tpu.config import load_config
+    from pose3d_tpu.models.caffe_io import save_caffemodel
+    from pose3d_tpu.train import checkpoint
+    from pose3d_tpu.train.solver import Solver
+    cfg = load_config(args.config)
+    from pose3d_tpu.data.dataset import DatasetManager
+    db = DatasetManager(cfg)
+    db.generate_datasets()
+    solver = Solver(cfg, db.to_device())
+    found = checkpoint.latest(cfg.output_path, cfg.net_name)
+    if not found:
+        print(f"no snapshot for {cfg.net_name} in {cfg.output_path}",
+              file=sys.stderr)
+        return 1
+    state = checkpoint.restore(found[0], solver.init_state())
+    save_caffemodel(args.out, state["params"], solver.spec)
+    print(f"wrote {args.out} (from {found[0]})")
     return 0
 
 
@@ -166,7 +189,17 @@ def main(argv=None) -> int:
     t = sub.add_parser("train", help="generate datasets if missing + train")
     t.add_argument("config")
     t.add_argument("--resume-iter", type=int, default=0)
+    t.add_argument("--weights", default=None, metavar="SNAPSHOT",
+                   help="warm-start from a Caffe .caffemodel / .caffemodel.h5"
+                        " (CopyTrainedLayersFrom semantics)")
     t.set_defaults(fn=cmd_train)
+
+    x = sub.add_parser("export-weights",
+                       help="export the latest snapshot as a Caffe "
+                            ".caffemodel (binary proto) or .caffemodel.h5")
+    x.add_argument("config")
+    x.add_argument("--out", default="net.caffemodel.h5")
+    x.set_defaults(fn=cmd_export_weights)
 
     b = sub.add_parser("binarize", help="train the 128-bit binarization head")
     b.add_argument("config")

@@ -118,6 +118,11 @@ def init_params(key: jax.Array, spec: NetSpec) -> Dict:
         p["prelu2"] = {"a": jnp.full((_CONV2_OUT,), 0.25)}
         p["prelu3"] = {"a": jnp.full((256,), 0.25)}
     if spec.bin_head:
+        # the frozen relu_ip2 PReLU between ip2 and the bin head
+        # (network/manifold_rgbdnor_16_bin.prototxt:113-119, lr_mult 0);
+        # CopyTrainedLayersFrom leaves it at the Caffe init slope 0.25
+        # because the trained trunk has no layer of that name
+        p["prelu4"] = {"a": jnp.full((spec.desc_dim,), 0.25)}
         p["bin_fc1"] = {"w": _xavier(ks[4], (spec.desc_dim, spec.bin_hidden),
                                      spec.desc_dim),
                         "b": jnp.zeros((spec.bin_hidden,))}
@@ -205,6 +210,10 @@ def apply(params: Dict, spec: NetSpec, patches: jnp.ndarray,
 
     use_head = spec.bin_head if bin_head is None else bin_head
     if use_head:
+        # frozen relu_ip2 PReLU before the bin head (reference
+        # network/manifold_rgbdnor_16_bin.prototxt:113-119)
+        a4 = params["prelu4"]["a"]
+        x = jnp.where(x > 0, x, a4 * x)
         h = _fc(cast(x), cast(params["bin_fc1"]["w"]),
                 params["bin_fc1"]["b"], precision)
         a = params["bin_prelu"]["a"]
@@ -237,6 +246,9 @@ def trunk_param_names(spec: NetSpec) -> Tuple[str, ...]:
     names = ["conv1", "conv2", "fc1", "fc2"]
     if spec.activation == "prelu":
         names += ["prelu1", "prelu2", "prelu3"]
+    if spec.bin_head:
+        # relu_ip2 is lr_mult 0 in the bin prototxt (:118) — frozen
+        names += ["prelu4"]
     return tuple(names)
 
 

@@ -237,9 +237,19 @@ class Solver:
                                         iteration)
 
     # -------------------------------------------------------------- train
-    def train(self, resume_iter: int = 0) -> Dict:
+    def train(self, resume_iter: int = 0,
+              weights: Optional[str] = None) -> Dict:
         cfg = self.cfg
         state = self.init_state()
+        if weights:
+            # warm-start from a Caffe snapshot (.caffemodel / .caffemodel.h5)
+            # — CopyTrainedLayersFrom semantics (reference
+            # src/networksolver.cpp:410-413)
+            from pose3d_tpu.models.caffe_io import warm_start
+            state["params"] = jax.device_put(
+                warm_start(state["params"], weights, self.spec),
+                replicate(self.mesh))
+            log.info("warm-started from Caffe snapshot %s", weights)
         bootstrapping = False
         start = time.time()
 
