@@ -295,15 +295,18 @@ class Solver:
                 # one device program per epoch (scan over iterations)
                 state, mean_loss = epoch_fn(state, self.data, knn)
                 it_global += self.epoch_iter
-                if (epoch + 1) % max(cfg.log_epoch, 1) == 0:
+                # epoch-granular log cadence over a GLOBAL epoch counter,
+                # exactly as the reference: ((epoch+1) + round*num_epochs)
+                # % log_epoch == 0 (src/networksolver.cpp:375-380)
+                global_epoch = (epoch + 1) + rnd * cfg.num_epochs
+                if global_epoch % max(cfg.log_epoch, 1) == 0:
                     log.info("round %d epoch %d iter %d mean loss %.4f",
                              rnd, epoch, it_global, float(mean_loss))
+                    if cfg.output_path and not stop["flag"]:
+                        self._log_metrics(state["params"], it_global,
+                                          time.time() - start)
                 if stop["flag"]:
                     break
-            if cfg.output_path and not stop["flag"] and \
-                    (rnd + 1) % max(cfg.log_epoch, 1) == 0:
-                self._log_metrics(state["params"], it_global,
-                                  time.time() - start)
 
         for sig, h in old_handlers.items():
             _signal.signal(sig, h)
