@@ -266,7 +266,17 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
         if bucket > F else mesh.faces
     verts = jnp.asarray(mesh.vertices)
     faces = jnp.asarray(faces_np)
-    colors = jnp.asarray(mesh.colors)
+    # per-pixel texturing: interpolate (u, v) through the color rows and
+    # gather texels in the epilogue (render/texture.py; the GL texturing of
+    # reference src/model.cpp:29-71) — else interpolate vertex colors
+    textured = mesh.texture is not None and mesh.tcoords is not None
+    if textured:
+        texture = jnp.asarray(mesh.texture)
+        colors = jnp.asarray(np.concatenate(
+            [mesh.tcoords,
+             np.zeros((len(mesh.tcoords), 1), np.float32)], axis=1))
+    else:
+        colors = jnp.asarray(mesh.colors)
     K = jnp.asarray(cam)
 
     tile = 32
@@ -295,6 +305,11 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     def render_chunk(pose_chunk):
         def one(pose):
             col, dep = render_one(verts, faces, colors, pose, K)
+            if textured:
+                from pose3d_tpu.render.texture import sample_texture_nearest
+                rgb = sample_texture_nearest(col[..., 0], col[..., 1],
+                                             texture)
+                col = jnp.where((dep > 0.0)[..., None], rgb, 0.0)
             nor = depth2normals(dep, fx, fy)
             # window-local center coordinates
             return sample_patch(col * 255.0, dep, nor,

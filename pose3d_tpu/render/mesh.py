@@ -6,18 +6,21 @@ uploads GL VBOs — with a NumPy loader producing flat arrays ready for the
 XLA rasterizer: float32 vertices [N,3], int32 faces [F,3], per-vertex colors
 [N,3] (0..1, BGR to match the OpenCV-ordered patch channels).
 
-Supported formats: binary/ascii PLY and (textureless) OBJ, parsed directly —
-no external mesh dependency is baked into the image.  Textured OBJ models
-fall back to the mean texture color per vertex when a texture image is
-present and cv2 is importable; else the reference's default grey 0.5
-(reference src/model.cpp:320-324).
+Supported formats: binary/ascii PLY and OBJ, parsed directly — no external
+mesh dependency is baked into the image.  Textured OBJs carry per-vertex
+texture coordinates + the preprocessed texture image for the rasterizer's
+per-pixel sampling path (render/texture.py, the GL texturing equivalent of
+reference src/model.cpp:29-71,337-351); per-vertex sampled colors are kept
+as the fallback, and untextured models default to grey 0.5 (reference
+src/model.cpp:320-324).
 """
 
 from __future__ import annotations
 
 import os
 import struct
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Optional
 
 import numpy as np
 
@@ -28,6 +31,11 @@ class Mesh:
     faces: np.ndarray           # [F, 3] int32
     colors: np.ndarray          # [N, 3] float32 in [0, 1], BGR
     normals: np.ndarray         # [N, 3] float32 (area-weighted vertex normals)
+    # per-pixel texturing (OBJ with vt + <stem>.png): per-vertex GL texture
+    # coordinates and the preprocessed texture (flip + /6 resize + x1.8 +20,
+    # reference src/model.cpp:343-351), BGR float32 in [0, 1]
+    tcoords: Optional[np.ndarray] = None   # [N, 2] float32
+    texture: Optional[np.ndarray] = None   # [th, tw, 3] float32 in [0, 1]
 
     @property
     def centroid(self) -> np.ndarray:
@@ -177,10 +185,10 @@ def _load_ply(path: str) -> Mesh:
 
 # --------------------------------------------------------------- OBJ parsing
 
-def _load_texture(path: str):
+def _load_texture(path: str, resize: bool = False):
     """Texture preprocessing matching the reference (src/model.cpp:343-351):
-    vertical flip + brightness/contrast (x1.8 +20).  The /6 downscale is
-    skipped — we sample per vertex, not through a GL sampler."""
+    vertical flip, optional /6 downscale (the reference's GL-bind size),
+    brightness/contrast (x1.8 +20)."""
     try:
         import cv2
     except Exception:
@@ -188,7 +196,10 @@ def _load_texture(path: str):
     tex = cv2.imread(path)
     if tex is None:
         return None
-    tex = tex[::-1].astype(np.float32) * 1.8 + 20.0
+    tex = tex[::-1]
+    if resize and min(tex.shape[:2]) >= 12:
+        tex = cv2.resize(tex, (tex.shape[1] // 6, tex.shape[0] // 6))
+    tex = tex.astype(np.float32) * 1.8 + 20.0
     return np.clip(tex, 0, 255)
 
 
@@ -219,24 +230,30 @@ def _load_obj(path: str) -> Mesh:
     vertices = np.asarray(verts, np.float32)
     faces_a = np.asarray(faces, np.int32).reshape(-1, 3)
 
-    # per-vertex color from the texture when UVs + <stem>.png exist
-    # (the reference's GL texturing, approximated at vertex rate — BigBIRD
-    # meshes are dense relative to the 64x64 patches)
+    # per-vertex color from the texture when UVs + <stem>.png exist — the
+    # fallback for untextured render paths; the per-pixel path carries
+    # (tcoords, texture) into the rasterizer epilogue (render/texture.py)
     colors = np.full((len(vertices), 3), 0.5, np.float32)
+    mesh_uv = None
+    mesh_tex = None
     if tcoords and vert_uv:
         tex = _load_texture(os.path.splitext(path)[0] + ".png")
         if tex is not None:
             th, tw = tex.shape[:2]
             uv = np.asarray(tcoords, np.float32)
+            mesh_uv = np.zeros((len(vertices), 2), np.float32)
             for vi, ti in vert_uv.items():
                 if ti >= len(uv):
                     continue
                 u, v = uv[ti]
+                mesh_uv[vi] = (u, v)
                 x = min(max(int(u * (tw - 1)), 0), tw - 1)
                 y = min(max(int(v * (th - 1)), 0), th - 1)
                 colors[vi] = tex[y, x] / 255.0
+            mesh_tex = (tex / 255.0).astype(np.float32)
     return Mesh(vertices, faces_a, colors,
-                vertex_normals(vertices, faces_a))
+                vertex_normals(vertices, faces_a),
+                tcoords=mesh_uv, texture=mesh_tex)
 
 
 def subsample_cloud(points: np.ndarray, leaf: float) -> np.ndarray:

@@ -157,3 +157,34 @@ def render_views_tiled(vertices, faces, colors, poses, K, width, height,
                                  width=width, height=height, tile=tile,
                                  capacity=capacity, face_chunk=face_chunk)
     return jax.lax.map(one, poses)
+
+
+def render_views_clipped(vertices, faces, colors, poses, K, corners,
+                         img_w: int = 640, img_h: int = 480,
+                         tile: int = 32, capacity: int = 1024,
+                         face_chunk: int = 256):
+    """Per-view bbox-clipped rendering — renderView(clipped=true)
+    (reference src/sphere.cpp:37-67) over a pose batch.
+
+    The window SIZE is static (max projected AABB extent over the poses,
+    windows.clipped_windows) while each view's ORIGIN is a traced value, so
+    one compiled program renders every off-center pose.  Returns
+    (color [V, h, w, 3], depth [V, h, w], x0s [V], y0s [V]); pixel (r, c)
+    of view i lives at image coordinates (x0s[i] + c, y0s[i] + r).
+    """
+    import numpy as np
+    from pose3d_tpu.render.windows import clipped_windows
+    x0s, y0s, w, h = clipped_windows(np.asarray(poses), np.asarray(K),
+                                     np.asarray(corners), img_w, img_h,
+                                     multiple=tile)
+
+    def one(args):
+        pose, x0, y0 = args
+        return render_view_tiled(vertices, faces, colors, pose, K,
+                                 width=w, height=h, x0=x0, y0=y0,
+                                 tile=tile, capacity=capacity,
+                                 face_chunk=face_chunk)
+
+    color, depth = jax.lax.map(
+        one, (jnp.asarray(poses), jnp.asarray(x0s), jnp.asarray(y0s)))
+    return color, depth, x0s, y0s

@@ -1,0 +1,93 @@
+"""Per-view bbox-clipped render windows (renderView(clipped=true),
+reference src/sphere.cpp:37-67): off-center poses render only the window
+covering the projected AABB, and the clipped output must equal the same
+crop of a full-frame render, bit for bit."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pose3d_tpu.render import make_test_mesh
+from pose3d_tpu.render.rasterizer_tiled import (render_view_tiled,
+                                                render_views_clipped)
+from pose3d_tpu.render.windows import (bbox_window, clipped_windows,
+                                       project_bbox)
+
+K = np.asarray([[150.0, 0.0, 64.0],
+                [0.0, 150.0, 64.0],
+                [0.0, 0.0, 1.0]], np.float32)
+W = H = 128
+
+
+def _offcenter_pose(tx, ty, z=0.45, rot_deg=30.0):
+    a = np.deg2rad(rot_deg)
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.array([[np.cos(a), -np.sin(a), 0],
+                          [np.sin(a), np.cos(a), 0],
+                          [0, 0, 1]], np.float32)
+    T[:3, 3] = [tx, ty, z]
+    return T
+
+
+def test_bbox_window_reference_semantics():
+    """x/y truncated from max(0, min coord); w/h clipped at the image edge
+    (src/sphere.cpp:44-53)."""
+    mesh = make_test_mesh("cube", 0.1)
+    pose = _offcenter_pose(0.06, -0.03)
+    x, y, w, h = bbox_window(pose, K, mesh.bounding_box, W, H)
+    u, v = project_bbox(pose, K, mesh.bounding_box)
+    assert x == int(max(0.0, u.min()))
+    assert y == int(max(0.0, v.min()))
+    assert w == max(0, min(W, int(u.max())) - x)
+    assert h == max(0, min(H, int(v.max())) - y)
+    assert 0 <= x and x + w <= W and 0 <= y and y + h <= H
+
+
+def test_bbox_window_clamps_offscreen():
+    mesh = make_test_mesh("cube", 0.1)
+    pose = _offcenter_pose(-0.5, 0.0)           # object far left of frame
+    x, y, w, h = bbox_window(pose, K, mesh.bounding_box, W, H)
+    assert x == 0 and w == 0                    # fully clipped
+
+
+def test_clipped_windows_cover_each_reference_rect():
+    mesh = make_test_mesh("cube", 0.1)
+    poses = np.stack([_offcenter_pose(dx, dy, z, r)
+                      for (dx, dy, z, r) in [(0.0, 0.0, 0.4, 0),
+                                             (0.08, -0.05, 0.45, 20),
+                                             (-0.06, 0.07, 0.5, 65)]])
+    x0s, y0s, w, h = clipped_windows(poses, K, mesh.bounding_box, W, H,
+                                     multiple=32)
+    assert w % 32 == 0 and h % 32 == 0
+    for i, pose in enumerate(poses):
+        x, y, ww, hh = bbox_window(pose, K, mesh.bounding_box, W, H)
+        assert x0s[i] <= x and x + ww <= x0s[i] + w
+        assert y0s[i] <= y and y + hh <= y0s[i] + h
+        assert 0 <= x0s[i] and x0s[i] + w <= W
+        assert 0 <= y0s[i] and y0s[i] + h <= H
+
+
+def test_offcenter_clipped_render_equals_fullframe_crop():
+    """The VERDICT's done-condition: an off-center pose rendered through the
+    clipped-window path equals the full-frame render cropped at the window."""
+    mesh = make_test_mesh("tetra", 0.12)
+    poses = np.stack([_offcenter_pose(0.09, -0.06, 0.45, 30),
+                      _offcenter_pose(-0.07, 0.05, 0.5, 100)])
+    args = (jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+            jnp.asarray(mesh.colors))
+    color, depth, x0s, y0s = render_views_clipped(
+        *args, jnp.asarray(poses), jnp.asarray(K), mesh.bounding_box,
+        img_w=W, img_h=H, tile=32, capacity=16, face_chunk=8)
+    h, w = depth.shape[1:3]
+    for i, pose in enumerate(poses):
+        colf, depf = render_view_tiled(*args, jnp.asarray(pose),
+                                       jnp.asarray(K), width=W, height=H,
+                                       tile=32, capacity=16, face_chunk=8)
+        x0, y0 = int(x0s[i]), int(y0s[i])
+        np.testing.assert_allclose(
+            np.asarray(depth[i]),
+            np.asarray(depf)[y0:y0 + h, x0:x0 + w], atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(color[i]),
+            np.asarray(colf)[y0:y0 + h, x0:x0 + w], atol=1e-5)
+        # the object is actually in the window (non-trivial crop)
+        assert (np.asarray(depth[i]) > 0).sum() > 50
