@@ -112,6 +112,15 @@ def compute_knn_tables(apply_fn, params, train_patches: jnp.ndarray,
 
     dq = compute_descriptors(apply_fn, params, _flat(train_patches))
     dt = compute_descriptors(apply_fn, params, _flat(tmpl_patches))
+    return knn_tables_from_descriptors(dq, dt, O, Ntr, T, k=k)
+
+
+def knn_tables_from_descriptors(dq: jnp.ndarray, dt: jnp.ndarray,
+                                O: int, Ntr: int, T: int,
+                                k: int = 3) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The descriptor-level core of :func:`compute_knn_tables` — also used
+    by the streaming path, which extracts descriptors chunk-wise from the
+    native caches instead of from resident patch tensors."""
     _, idx = knn_ops.knn_l2(dq, dt, k=k)           # [Q, k]
 
     nn_obj = idx // T
@@ -197,9 +206,18 @@ def compute_histogram(apply_fn, params, tmpl_patches, tmpl_labels,
     reference (normalized bins + mean + median)."""
     dq = compute_descriptors(apply_fn, params, _flat(query_patches))
     dt = compute_descriptors(apply_fn, params, _flat(tmpl_patches))
-    ql = np.asarray(_flat(query_labels))
-    tl = np.asarray(_flat(tmpl_labels))
+    return histogram_from_descriptors(dq, dt, np.asarray(_flat(query_labels)),
+                                      np.asarray(_flat(tmpl_labels)),
+                                      rot_inv, bins=bins, k=k)
 
+
+def histogram_from_descriptors(dq: jnp.ndarray, dt: jnp.ndarray,
+                               ql: np.ndarray, tl: np.ndarray,
+                               rot_inv: Sequence[int],
+                               bins: Sequence[float] = HISTOGRAM_BINS,
+                               k: int = 3) -> np.ndarray:
+    """Descriptor-level core of :func:`compute_histogram` (flat labels
+    [Q, 8] / [T, 8]); shared with the streaming evaluation path."""
     rot_inv = np.asarray(rot_inv, np.int32)
     q_rot = rot_inv[ql[:, 0].astype(np.int32)]
 
@@ -238,11 +256,20 @@ def compute_confusion_matrix(apply_fn, params, tmpl_patches, tmpl_labels,
     same-class hit within the top-k, else the top-1 neighbor."""
     dq = compute_descriptors(apply_fn, params, _flat(test_patches))
     dt = compute_descriptors(apply_fn, params, _flat(tmpl_patches))
+    return confusion_from_descriptors(dq, dt, np.asarray(_flat(test_labels)),
+                                      np.asarray(_flat(tmpl_labels)),
+                                      models, local_index,
+                                      test_patches.shape[1], k=k)
+
+
+def confusion_from_descriptors(dq: jnp.ndarray, dt: jnp.ndarray,
+                               ql: np.ndarray, tl: np.ndarray,
+                               models: Sequence[str], local_index: dict,
+                               nr_test_poses: int, k: int = 3) -> np.ndarray:
+    """Descriptor-level core of :func:`compute_confusion_matrix`."""
     _, idx = knn_ops.knn_l2(dq, dt, k=k)
     idx = np.asarray(idx)
 
-    ql = np.asarray(_flat(test_labels))
-    tl = np.asarray(_flat(tmpl_labels))
     q_cls = ql[:, 0].astype(int)
     t_cls = tl[:, 0].astype(int)
 
@@ -256,7 +283,6 @@ def compute_confusion_matrix(apply_fn, params, tmpl_patches, tmpl_labels,
                       cand_cls[:, 0])
     for qc, cc in zip(q_cls, chosen):
         conf[local_index[models[qc]], local_index[models[cc]]] += 1
-    nr_test_poses = test_patches.shape[1]
     return conf / max(nr_test_poses, 1)
 
 

@@ -17,13 +17,24 @@ This is the moral equivalent of the reference's producer-thread pool +
 condvar queue (reference src/networksolver.cpp:12-50, 315-323) — but the
 producers are native threads doing mmap gathers and the consumer is an XLA
 program, with the augmentation still on device.
+
+Protocol parity with the resident Solver (reference trainNet,
+src/networksolver.cpp:261-392): the same round structure with bootstrapping
+rounds (kNN tables re-mined from streamed descriptors, :456-505), the same
+epoch-granular TSV logging (:375-380), and Caffe-style snapshot/resume with
+kNN recomputation on resume (:304-310).  Scale-out: an optional dp mesh
+shards each incoming batch over devices (params replicated, gradient psum
+inserted by XLA) — the prefetcher transfers straight into the sharded
+layout.
 """
 
 from __future__ import annotations
 
+import logging
+import time
 from dataclasses import dataclass
 from functools import partial
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -37,14 +48,23 @@ from pose3d_tpu.data.batcher import TRIPLET_SIZE
 from pose3d_tpu.data.dataset import DeviceData
 from pose3d_tpu.data.native_cache import NativeCache
 from pose3d_tpu.data.prefetch import DevicePrefetcher
+from pose3d_tpu.eval import evaluator
 from pose3d_tpu.models import NETWORKS, apply, init_params, losses
+from pose3d_tpu.models.manifold import descriptor_fn
+from pose3d_tpu.models.prototxt import load_spec
+from pose3d_tpu.train import checkpoint
 from pose3d_tpu.train.optim import caffe_sgd
+
+log = logging.getLogger(__name__)
 
 
 def light_tables(train_labels: np.ndarray, tmpl_labels: np.ndarray,
-                 rot_inv: np.ndarray, inplane: bool = True) -> DeviceData:
+                 rot_inv: np.ndarray, inplane: bool = True,
+                 test_labels: Optional[np.ndarray] = None) -> DeviceData:
     """A DeviceData carrying ONLY the small mining tables (1-pixel dummy
     sample tensors): index selection reuses the standard batcher against it.
+    ``test_labels`` [O, Nte, 8] enables test-set histogram logging when the
+    solver is given a streamed test source.
     """
     from pose3d_tpu.ops import quaternion as Q
     train_labels = jnp.asarray(train_labels)
@@ -65,7 +85,9 @@ def light_tables(train_labels: np.ndarray, tmpl_labels: np.ndarray,
     return DeviceData(
         train_patches=jnp.zeros((O, Ntr, 1, 1, 1)), train_labels=train_labels,
         tmpl_patches=jnp.zeros((O, T, 1, 1, 1)), tmpl_labels=tmpl_labels,
-        test_patches=dummy, test_labels=tmpl_labels[:, :1],
+        test_patches=dummy,
+        test_labels=(jnp.asarray(test_labels) if test_labels is not None
+                     else tmpl_labels[:, :1]),
         max_sim_tmpl=sims, rot_inv=jnp.asarray(rot_inv, jnp.int32),
         elev_ok=jnp.abs(elev[:, :, None] - elev[:, None, :]) >= 0.2,
         hard_negs=dummy, hard_neg_count=jnp.zeros((O,), jnp.int32))
@@ -93,6 +115,8 @@ class StreamingSources:
     nr_objects: int
     nr_training_poses: int
     nr_template_poses: int
+    test: Optional[NativeCache] = None     # flattened [O*Nte] (optional)
+    nr_test_poses: int = 0
 
 
 class StreamingSolver:
@@ -102,29 +126,44 @@ class StreamingSolver:
                  tables: DeviceData,
                  bg_bank: Optional[jnp.ndarray] = None,
                  noise_bank: Optional[jnp.ndarray] = None,
-                 prefetch_depth: int = 2):
+                 prefetch_depth: int = 2, mesh=None):
         self.cfg = cfg
         self.src = sources
         self.tables = tables
         self.bg_bank = bg_bank
         self.noise_bank = noise_bank
         self.depth = prefetch_depth
-        self.spec = NETWORKS[cfg.net_name]
+        self.mesh = mesh
+        self.spec = load_spec(cfg.network_path, cfg.net_name)
         self.batch_size = cfg.batch_size or self.spec.batch_size
         self.groups = self.batch_size // TRIPLET_SIZE
+        if mesh is not None and mesh.size > 1 and self.groups % mesh.size:
+            self.groups += mesh.size - self.groups % mesh.size
         self.epoch_iter = max(
             1, sources.nr_objects * sources.nr_training_poses // self.groups)
         self.tx = caffe_sgd(cfg.learning_rate, cfg.momentum,
                             cfg.weight_decay, cfg.learning_policy,
                             cfg.step_size, cfg.gamma)
         self._step = None
+        self.knn_tables: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
 
+    # ------------------------------------------------------------ plumbing
     def init_state(self) -> Dict:
         key = jax.random.key(self.cfg.seed)
         kp, kr = jax.random.split(key)
         params = init_params(kp, self.spec)
-        return {"params": params, "opt": self.tx.init(params), "key": kr,
-                "iter": jnp.zeros((), jnp.int32)}
+        state = {"params": params, "opt": self.tx.init(params), "key": kr,
+                 "iter": jnp.zeros((), jnp.int32)}
+        if self.mesh is not None:
+            from pose3d_tpu.parallel.mesh import replicate
+            state = jax.device_put(state, replicate(self.mesh))
+        return state
+
+    def _batch_sharding(self):
+        if self.mesh is None or self.mesh.size <= 1:
+            return None
+        from pose3d_tpu.parallel.mesh import batch_sharding
+        return batch_sharding(self.mesh)
 
     def _host_batch(self, ix: Dict[str, np.ndarray], it: int) -> np.ndarray:
         """Assemble one [B, 64, 64, 7] batch on host via native gathers."""
@@ -147,6 +186,7 @@ class StreamingSolver:
             return self._step
         cfg = self.cfg
         spec = self.spec
+        sharding = self._batch_sharding()
 
         def step(state, batch):
             key, kf = jax.random.split(state["key"])
@@ -157,6 +197,8 @@ class StreamingSolver:
                                       self.bg_bank, self.noise_bank)
                 batch = jnp.concatenate([anchors[:, None], g[:, 1:]],
                                         axis=1).reshape(B, *batch.shape[1:])
+            if sharding is not None:
+                batch = jax.lax.with_sharding_constraint(batch, sharding)
 
             def loss_fn(p):
                 return losses.spec_loss(apply(p, spec, batch),
@@ -170,29 +212,142 @@ class StreamingSolver:
             return {"params": params, "opt": opt, "key": key,
                     "iter": state["iter"] + 1}, loss
 
-        self._step = jax.jit(step, donate_argnums=(0, 1))
+        # donate the state only: the batch buffer is consumed by the
+        # augmentation concat before any in-place reuse is possible
+        self._step = jax.jit(step, donate_argnums=(0,))
         return self._step
 
-    def train_epoch(self, state: Dict, epoch_key: jax.Array) -> Dict:
+    # ------------------------------------------- streamed descriptor passes
+    def streamed_descriptors(self, params, cache: NativeCache, n: int,
+                             chunk: int = 512) -> jnp.ndarray:
+        """Descriptors over a native cache without residency: gather fixed
+        chunks on host, forward on device."""
+        fn = jax.jit(descriptor_fn(self.spec))
+        outs = []
+        for s in range(0, n, chunk):
+            rows = np.arange(s, min(s + chunk, n))
+            host, _ = cache.gather(rows)
+            pad = chunk - len(rows)
+            if pad:
+                host = np.concatenate(
+                    [host, np.zeros((pad,) + host.shape[1:], host.dtype)])
+            outs.append(fn(params, jnp.asarray(host))[:chunk - pad])
+        return jnp.concatenate(outs)
+
+    def compute_knn(self, params) -> None:
+        """computeKNN over the streamed sets (reference
+        src/networksolver.cpp:456-505): training + template descriptors via
+        chunked gathers, kNN tables on device."""
+        O = self.src.nr_objects
+        Ntr = self.src.nr_training_poses
+        T = self.src.nr_template_poses
+        dq = self.streamed_descriptors(params, self.src.train, O * Ntr)
+        dt = self.streamed_descriptors(params, self.src.templates, O * T)
+        self.knn_tables = evaluator.knn_tables_from_descriptors(
+            dq, dt, O, Ntr, T)
+
+    # ------------------------------------------------------------- logging
+    def _log_metrics(self, params, iteration: int, elapsed: float) -> None:
+        cfg = self.cfg
+        O = self.src.nr_objects
+        T = self.src.nr_template_poses
+        Ntr = self.src.nr_training_poses
+        dt = self.streamed_descriptors(params, self.src.templates, O * T)
+        tl = np.asarray(self.tables.tmpl_labels).reshape(-1, 8)
+        rot_inv = np.asarray(self.tables.rot_inv)
+
+        dtr = self.streamed_descriptors(params, self.src.train, O * Ntr)
+        trl = np.asarray(self.tables.train_labels).reshape(-1, 8)
+        train_hist = evaluator.histogram_from_descriptors(
+            dtr, dt, trl, tl, rot_inv, k=cfg.knn)
+
+        if self.src.test is not None and self.src.nr_test_poses > 0:
+            dte = self.streamed_descriptors(
+                params, self.src.test, O * self.src.nr_test_poses)
+            # streamed test labels ride in tables.test_labels when provided
+            tel = np.asarray(self.tables.test_labels).reshape(-1, 8)
+            test_hist = evaluator.histogram_from_descriptors(
+                dte, dt, tel, tl, rot_inv, k=cfg.knn)
+        else:
+            test_hist = np.zeros(len(evaluator.HISTOGRAM_BINS) + 2)
+
+        evaluator.save_log(cfg.output_path, cfg.log_name, test_hist,
+                           train_hist, iteration, elapsed, O, Ntr)
+        local_index = {m: i for i, m in enumerate(cfg.used_models)}
+        # reference quirk kept: confusion over the TRAINING set (:390)
+        conf = evaluator.confusion_from_descriptors(
+            dtr, dt, trl, tl, cfg.models, local_index, Ntr, k=cfg.knn)
+        evaluator.save_confusion_matrix(cfg.output_path, cfg.log_name, conf,
+                                        iteration)
+
+    # --------------------------------------------------------------- train
+    def train_epoch(self, state: Dict, epoch_key: jax.Array,
+                    bootstrapping: bool = False) -> Tuple[Dict, float]:
         ix_dev = epoch_indices(epoch_key, self.epoch_iter, self.groups,
-                               self.tables)
+                               self.tables, bootstrapping=bootstrapping,
+                               knn_tables=self.knn_tables
+                               if bootstrapping else None)
         ix = {k: np.asarray(v) for k, v in ix_dev.items()}
         step = self._train_step()
 
         pf = DevicePrefetcher(lambda it: self._host_batch(ix, it),
-                              steps=self.epoch_iter, depth=self.depth)
+                              steps=self.epoch_iter, depth=self.depth,
+                              device=self._batch_sharding())
         last_loss = None
         for batch in pf:
             state, last_loss = step(state, batch)
-        state["last_loss"] = last_loss
-        return state
+        return state, (float(last_loss) if last_loss is not None else 0.0)
 
-    def train(self, num_epochs: Optional[int] = None) -> Dict:
+    def train(self, num_epochs: Optional[int] = None,
+              resume_iter: int = 0) -> Dict:
+        """Full reference loop shape (src/networksolver.cpp:326-390):
+        training rounds then bootstrapping rounds, epoch-granular logging,
+        snapshot at the end; resume restores + recomputes kNN (:304-310)."""
+        cfg = self.cfg
         state = self.init_state()
-        key = jax.random.key(self.cfg.seed + 99)
-        epochs = (num_epochs if num_epochs is not None
-                  else self.cfg.num_training_rounds * self.cfg.num_epochs)
-        for e in range(epochs):
-            key, ek = jax.random.split(key)
-            state = self.train_epoch(state, ek)
+        bootstrapping = False
+        start = time.time()
+        it_global = 0
+
+        if resume_iter > 0:
+            path = checkpoint.snapshot_path(cfg.output_path, cfg.net_name,
+                                            resume_iter)
+            state = checkpoint.restore(path, state)
+            it_global = int(state["iter"])
+            self.compute_knn(state["params"])
+            bootstrapping = True
+            log.info("resumed from %s; bootstrapping on", path)
+
+        key = jax.random.key(cfg.seed + 99)
+        if num_epochs is not None:
+            # simple-N-epochs mode (no rounds); kept for library use
+            for _ in range(num_epochs):
+                key, ek = jax.random.split(key)
+                state, _ = self.train_epoch(state, ek)
+            if cfg.output_path:
+                checkpoint.save(cfg.output_path, cfg.net_name,
+                                int(state["iter"]), state)
+            return state
+
+        total_rounds = cfg.num_training_rounds + cfg.num_bootstrapping_rounds
+        for rnd in range(total_rounds):
+            if rnd >= cfg.num_training_rounds and not bootstrapping:
+                self.compute_knn(state["params"])
+                bootstrapping = True
+            if bootstrapping and self.knn_tables is None:
+                self.compute_knn(state["params"])
+            for epoch in range(cfg.num_epochs):
+                key, ek = jax.random.split(key)
+                state, last_loss = self.train_epoch(state, ek,
+                                                    bootstrapping)
+                it_global += self.epoch_iter
+                global_epoch = (epoch + 1) + rnd * cfg.num_epochs
+                if global_epoch % max(cfg.log_epoch, 1) == 0:
+                    log.info("round %d epoch %d iter %d loss %.4f",
+                             rnd, epoch, it_global, last_loss)
+                    if cfg.output_path:
+                        self._log_metrics(state["params"], it_global,
+                                          time.time() - start)
+        if cfg.output_path:
+            checkpoint.save(cfg.output_path, cfg.net_name, it_global, state)
         return state
