@@ -54,13 +54,31 @@ def _mask_and_outline(depth_ch: jnp.ndarray):
 
 
 def _median3(img: jnp.ndarray) -> jnp.ndarray:
-    """3x3 median filter per channel, replicate border (cv::medianBlur)."""
+    """3x3 median filter per channel, replicate border (cv::medianBlur).
+
+    Implemented as the 19-exchange median-of-9 selection network (Paeth) in
+    pure min/max ops: ``jnp.sort`` over the 9-tap axis lowered to a ~7.8 ms
+    sort on TPU and single-handedly dominated the fused train step; the
+    exchange network is exact and runs in microseconds on the VPU."""
     H, W, C = img.shape
-    p = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    taps = [p[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
-            for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-    stack = jnp.stack(taps, axis=0)          # [9, H, W, C]
-    return jnp.sort(stack, axis=0)[4]
+    pd = jnp.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    p = [pd[1 + dy:1 + dy + H, 1 + dx:1 + dx + W]
+         for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    def s(a, b):
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    p[1], p[2] = s(p[1], p[2]); p[4], p[5] = s(p[4], p[5])  # noqa: E702
+    p[7], p[8] = s(p[7], p[8]); p[0], p[1] = s(p[0], p[1])  # noqa: E702
+    p[3], p[4] = s(p[3], p[4]); p[6], p[7] = s(p[6], p[7])  # noqa: E702
+    p[1], p[2] = s(p[1], p[2]); p[4], p[5] = s(p[4], p[5])  # noqa: E702
+    p[7], p[8] = s(p[7], p[8]); p[0], p[3] = s(p[0], p[3])  # noqa: E702
+    p[5], p[8] = s(p[5], p[8]); p[4], p[7] = s(p[4], p[7])  # noqa: E702
+    p[3], p[6] = s(p[3], p[6]); p[1], p[4] = s(p[1], p[4])  # noqa: E702
+    p[2], p[5] = s(p[2], p[5]); p[4], p[7] = s(p[4], p[7])  # noqa: E702
+    p[4], p[2] = s(p[4], p[2]); p[6], p[4] = s(p[6], p[4])  # noqa: E702
+    p[4], p[2] = s(p[4], p[2])
+    return p[4]
 
 
 def _split_patch(patch):

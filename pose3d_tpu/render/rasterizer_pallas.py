@@ -290,32 +290,30 @@ def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     n_tiles = tiles_x * tiles_y
-    tx0 = (jnp.arange(tiles_x) * tile + x0 - cx_shift).astype(jnp.float32)
-    ty0 = (jnp.arange(tiles_y) * tile + y0 - cy_shift).astype(jnp.float32)
 
-    def bin_tile(t):
-        ty = t // tiles_x
-        tx = t % tiles_x
-        lo_x, lo_y = tx0[tx], ty0[ty]
-        overlap = ((bb_max[:, 0] >= lo_x) & (bb_min[:, 0] < lo_x + tile) &
-                   (bb_max[:, 1] >= lo_y) & (bb_min[:, 1] < lo_y + tile) &
-                   valid)
-        score, idx = jax.lax.top_k(overlap.astype(jnp.int32), capacity)
-        count = jnp.sum(score).astype(jnp.int32)
-        Mt = M8[idx]                                       # [cap, 8, 3]
-        Mt = Mt * (score > 0).astype(Mt.dtype)[:, None, None]
-        # attribute-major chunk packing: [chunks, 8, Fc, 3] -> [3, cap*8]
-        n_chunks = capacity // face_chunk
-        Mt = Mt.reshape(n_chunks, face_chunk, 8, 3).transpose(0, 2, 1, 3)
-        return Mt.reshape(-1, 3).T, count                   # [3, cap*8]
+    # counting-sort binning (rasterizer_tiled.bin_faces_to_tiles): one sort
+    # over (tile, face) pairs replaces the per-tile top_k that used to
+    # re-rank every padded face for every tile — the measured generation
+    # bottleneck.  The global (large-face) section is prepended per tile.
+    from pose3d_tpu.render.rasterizer_tiled import bin_faces_to_tiles
+    G = ((max(128, face_chunk) + face_chunk - 1)
+         // face_chunk) * face_chunk
+    face_idx, face_ok, counts = bin_faces_to_tiles(
+        bb_min, bb_max, valid, tiles_x, tiles_y, tile,
+        x0 - cx_shift, y0 - cy_shift, capacity, G)
 
-    m_tiles, counts = jax.lax.map(bin_tile, jnp.arange(n_tiles))
+    cap_total = G + capacity
+    n_chunks = cap_total // face_chunk
+    # gather per-tile face blocks + attribute-major chunk packing
+    Mt = M8[face_idx] * face_ok[..., None, None]   # [n_tiles, cap_total, 8, 3]
+    Mt = Mt.reshape(n_tiles, n_chunks, face_chunk, 8, 3)
+    m_tiles = Mt.transpose(0, 1, 3, 2, 4).reshape(n_tiles, -1, 3)
+    m_tiles = m_tiles.transpose(0, 2, 1)           # [n_tiles, 3, cap_total*8]
 
     sub = tile * tile // 128
     kernel = _make_tile_kernel(tiles_x, tile,
                                float(x0) - cx_shift, float(y0) - cy_shift,
                                face_chunk)
-    n_chunks = capacity // face_chunk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles, n_chunks),

@@ -50,6 +50,92 @@ def _project_and_pack(vertices, faces, colors, pose, K, cx_shift, cy_shift):
     return M, area, valid, bb_min, bb_max
 
 
+def bin_faces_to_tiles(bb_min: jnp.ndarray, bb_max: jnp.ndarray,
+                       valid: jnp.ndarray, tiles_x: int, tiles_y: int,
+                       tile: int, origin_x, origin_y,
+                       capacity: int, global_capacity: int = 128):
+    """Counting-sort face->tile binning (replaces per-tile ``top_k``).
+
+    The old binning ranked ALL padded faces per tile (n_tiles x top_k(F)) —
+    the measured bottleneck of dataset generation.  Here each *small* face
+    (screen bbox spanning <= 2x2 tiles — virtually all faces of a dense
+    mesh) emits up to 4 (tile, face) candidate pairs; ONE stable sort by
+    tile id + searchsorted segment lookup then yields every tile's face
+    list.  Faces spanning more tiles land in a short *global* section
+    prepended to every tile (zero-padded when absent), so arbitrarily large
+    triangles stay correct.
+
+    Overlap semantics match the previous test exactly:
+    ``bb_max >= lo && bb_min < lo + tile`` per axis.
+
+    Returns (face_idx [n_tiles, G+capacity] int32,
+             face_ok  [n_tiles, G+capacity] bool,
+             counts   [n_tiles] int32 — faces of work incl. the global
+             section; 0 means the tile can be skipped entirely).
+    """
+    F = bb_min.shape[0]
+    n_tiles = tiles_x * tiles_y
+    inv_t = 1.0 / tile
+
+    txl = jnp.floor((bb_min[:, 0] - origin_x) * inv_t).astype(jnp.int32)
+    txh = jnp.floor((bb_max[:, 0] - origin_x) * inv_t).astype(jnp.int32)
+    tyl = jnp.floor((bb_min[:, 1] - origin_y) * inv_t).astype(jnp.int32)
+    tyh = jnp.floor((bb_max[:, 1] - origin_y) * inv_t).astype(jnp.int32)
+
+    empty = (~valid | (txh < 0) | (tyh < 0) |
+             (txl > tiles_x - 1) | (tyl > tiles_y - 1))
+    cxl = jnp.clip(txl, 0, tiles_x - 1)
+    cxh = jnp.clip(txh, 0, tiles_x - 1)
+    cyl = jnp.clip(tyl, 0, tiles_y - 1)
+    cyh = jnp.clip(tyh, 0, tiles_y - 1)
+
+    small = ~empty & (cxh - cxl <= 1) & (cyh - cyl <= 1)
+    large = ~empty & ~small
+
+    # candidate pairs [F, 4] in (lo,lo),(hi,lo),(lo,hi),(hi,hi) slots;
+    # duplicate/invalid slots get the sentinel tile id n_tiles
+    sent = jnp.int32(n_tiles)
+    t00 = cyl * tiles_x + cxl
+    t10 = cyl * tiles_x + cxh
+    t01 = cyh * tiles_x + cxl
+    t11 = cyh * tiles_x + cxh
+    pair_tile = jnp.stack([
+        jnp.where(small, t00, sent),
+        jnp.where(small & (cxh > cxl), t10, sent),
+        jnp.where(small & (cyh > cyl), t01, sent),
+        jnp.where(small & (cxh > cxl) & (cyh > cyl), t11, sent),
+    ], axis=1).reshape(-1)                          # [4F], face-major
+    pair_face = jnp.repeat(jnp.arange(F, dtype=jnp.int32), 4)
+
+    order = jnp.argsort(pair_tile, stable=True)    # face order kept per tile
+    sorted_tiles = pair_tile[order]
+    sorted_faces = pair_face[order]
+
+    starts = jnp.searchsorted(sorted_tiles,
+                              jnp.arange(n_tiles + 1, dtype=jnp.int32))
+    seg_len = jnp.minimum(starts[1:] - starts[:-1], capacity)
+    gidx = jnp.clip(starts[:-1, None] + jnp.arange(capacity)[None],
+                    0, 4 * F - 1)
+    seg_faces = sorted_faces[gidx]                 # [n_tiles, capacity]
+    seg_ok = jnp.arange(capacity)[None, :] < seg_len[:, None]
+
+    # global section: faces spanning > 2x2 tiles, shared by every tile
+    G = global_capacity
+    gscore, gfaces = jax.lax.top_k(large.astype(jnp.int32), min(G, F))
+    if G > F:
+        gscore = jnp.pad(gscore, (0, G - F))
+        gfaces = jnp.pad(gfaces, (0, G - F))
+    g_ok = gscore > 0
+
+    face_idx = jnp.concatenate(
+        [jnp.broadcast_to(gfaces[None], (n_tiles, G)),
+         seg_faces], axis=1).astype(jnp.int32)
+    face_ok = jnp.concatenate(
+        [jnp.broadcast_to(g_ok[None], (n_tiles, G)), seg_ok], axis=1)
+    counts = jnp.where(seg_len + jnp.sum(gscore) > 0, G + seg_len, 0)
+    return face_idx, face_ok, counts.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
                                    "face_chunk"))
 def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
@@ -87,20 +173,25 @@ def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
     tx0 = (jnp.arange(tiles_x) * tile + x0 - cx_shift).astype(jnp.float32)
     ty0 = (jnp.arange(tiles_y) * tile + y0 - cy_shift).astype(jnp.float32)
 
+    # counting-sort binning: one sort instead of a top_k over all faces
+    # per tile; big faces ride the shared global section
+    G = ((max(128, face_chunk) + face_chunk - 1)
+         // face_chunk) * face_chunk
+    face_idx, face_ok, _ = bin_faces_to_tiles(
+        bb_min, bb_max, valid, tiles_x, tiles_y, tile,
+        x0 - cx_shift, y0 - cy_shift, capacity, G)
+
     def do_tile(t):
         ty = t // tiles_x
         tx = t % tiles_x
         lo_x = tx0[tx]
         lo_y = ty0[ty]
-        hi_x = lo_x + tile
-        hi_y = lo_y + tile
 
-        overlap = ((bb_max[:, 0] >= lo_x) & (bb_min[:, 0] < hi_x) &
-                   (bb_max[:, 1] >= lo_y) & (bb_min[:, 1] < hi_y) & valid)
-        score, idx = jax.lax.top_k(overlap.astype(jnp.int32), capacity)
+        idx = face_idx[t]
+        okm = face_ok[t]
         Mt = M[idx]
-        areat = area[idx]
-        validt = score > 0
+        areat = jnp.where(okm, area[idx], 0.0)
+        validt = okm
 
         rr = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
         cc = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)

@@ -27,8 +27,17 @@ SHAPES = [("cube", 0.10, 2), ("tetra", 0.12, 2), ("sphere", 0.10, 3),
           ("sphere", 0.08, 2), ("cylinder", 0.08, 4), ("cube", 0.08, 2)]
 
 
-def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3):
+def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
+         cpu=False):
     import jax
+    if cpu:
+        # the reference's denominator: the same e2e pipeline on one host
+        # CPU (gpu=false is the reference's shipped mode, config.ini:19).
+        # Run scaled down (--objects 2 --train-subdiv 2 --rounds 1) — the
+        # recorded RATES extrapolate to the full workload.
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/p3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from pose3d_tpu.config import Config
@@ -130,17 +139,29 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3):
                                    for n, v in zip(names_h, hist)},
           flush=True)
 
+    n_eval = int(data.train_patches.shape[0] * data.train_patches.shape[1])
     summary = {
+        "platform": jax.default_backend(),
         "objects": len(names), "views_rendered": n_views,
         "train_subdiv": train_subdiv,
         "gen_seconds": round(gen_s, 1),
-        "gen_views_per_s": round(n_views / max(gen_s, 1e-9), 1),
+        "gen_views_per_s": round(n_views / max(gen_s, 1e-9), 2),
         "train_seconds": round(train_s, 1), "eval_seconds": round(eval_s, 1),
         "train_iters": iters,
         "train_samples_per_s": round(iters * 300 / max(train_s, 1e-9), 1),
+        "eval_queries_per_s": round(n_eval / max(eval_s, 1e-9), 1),
         "histogram": {n: round(float(v), 4) for n, v in zip(names_h, hist)},
     }
-    with open(os.path.join(out, "bench_e2e.json"), "w") as f:
+    # extrapolate this run's RATES to the full 15-object reference workload
+    # so runs at different scales compare directly (units: 44,730 rendered
+    # views; 2,356 iters x 300 samples; 36,180 eval queries)
+    FULL = {"views": 44730, "samples": 2356 * 300, "queries": 36180}
+    summary["extrapolated_full_seconds"] = round(
+        FULL["views"] / max(summary["gen_views_per_s"], 1e-9)
+        + FULL["samples"] / max(summary["train_samples_per_s"], 1e-9)
+        + FULL["queries"] / max(summary["eval_queries_per_s"], 1e-9), 1)
+    fname = "bench_e2e_cpu.json" if cpu else "bench_e2e.json"
+    with open(os.path.join(out, fname), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary), flush=True)
 
@@ -153,4 +174,4 @@ if __name__ == "__main__":
     def opt(name, default):
         return int(args[args.index(name) + 1]) if name in args else default
     main(base, opt("--rounds", 3), opt("--objects", 15),
-         opt("--train-subdiv", 3))
+         opt("--train-subdiv", 3), cpu="--cpu" in args)
