@@ -284,38 +284,43 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                                poses[0], cam, sw, sh, x0, y0, tile)
     capacity = max(256, int(np.ceil(overlap * 1.5 / 256)) * 256)
 
-    # Pallas inner loop with empty-chunk skipping is ~2.3x the tiled XLA
-    # path on TPU (bit-exact); interpret mode is too slow for CPU runs
+    def _post(col, dep):
+        if textured:
+            from pose3d_tpu.render.texture import sample_texture_nearest
+            rgb = sample_texture_nearest(col[..., 0], col[..., 1], texture)
+            col = jnp.where((dep > 0.0)[..., None], rgb, 0.0)
+        nor = depth2normals(dep, fx, fy)
+        # window-local center coordinates
+        return sample_patch(col * 255.0, dep, nor,
+                            jnp.float32(ox - x0), jnp.float32(oy - y0),
+                            jnp.float32(z), fx=fx, fy=fy)
+
+    # Pallas inner loop with empty-chunk skipping on TPU, batched over the
+    # view axis (one vmapped sort/bin/pack + one kernel grid per chunk);
+    # interpret mode is too slow for CPU runs, which take the XLA path
     if jax.default_backend() == "tpu":
         from pose3d_tpu.render.rasterizer_pallas import \
-            render_view_tiled_pallas as _render
+            render_views_tiled_pallas as _render
+        views_per_call = 8     # packed face blocks are ~20 MB/view
 
-        def render_one(verts, faces, colors, pose, K):
-            return _render(verts, faces, colors, pose, K, width=sw,
-                           height=sh, x0=x0, y0=y0, tile=tile,
-                           capacity=capacity, face_chunk=128)
+        @jax.jit
+        def render_chunk(pose_chunk):
+            cols, deps = _render(verts, faces, colors, pose_chunk, K,
+                                 width=sw, height=sh, x0=x0, y0=y0,
+                                 tile=tile, capacity=capacity,
+                                 face_chunk=256)
+            return jax.vmap(_post)(cols, deps)
     else:
-        def render_one(verts, faces, colors, pose, K):
-            return render_view_tiled(verts, faces, colors, pose, K,
-                                     width=sw, height=sh, x0=x0, y0=y0,
-                                     tile=tile, capacity=capacity,
-                                     face_chunk=256)
-
-    @jax.jit
-    def render_chunk(pose_chunk):
-        def one(pose):
-            col, dep = render_one(verts, faces, colors, pose, K)
-            if textured:
-                from pose3d_tpu.render.texture import sample_texture_nearest
-                rgb = sample_texture_nearest(col[..., 0], col[..., 1],
-                                             texture)
-                col = jnp.where((dep > 0.0)[..., None], rgb, 0.0)
-            nor = depth2normals(dep, fx, fy)
-            # window-local center coordinates
-            return sample_patch(col * 255.0, dep, nor,
-                                jnp.float32(ox - x0), jnp.float32(oy - y0),
-                                jnp.float32(z), fx=fx, fy=fy)
-        return jax.lax.map(one, pose_chunk)
+        @jax.jit
+        def render_chunk(pose_chunk):
+            def one(pose):
+                col, dep = render_view_tiled(verts, faces, colors, pose, K,
+                                             width=sw, height=sh, x0=x0,
+                                             y0=y0, tile=tile,
+                                             capacity=capacity,
+                                             face_chunk=256)
+                return _post(col, dep)
+            return jax.lax.map(one, pose_chunk)
 
     out = []
     V = len(poses)

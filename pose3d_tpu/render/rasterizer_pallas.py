@@ -177,9 +177,10 @@ def render_view_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
 # ----------------------------------------------------------- tiled + Pallas
 
 def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
-                      face_chunk: int):
+                      face_chunk: int, n_tiles: int):
     """Kernel for the culled path: pixel coordinates derived from the tile
-    index (grid dim 0); faces are this tile's culled chunk (grid dim 1).
+    index (grid dim 0, modulo ``n_tiles`` so a flattened view axis rides
+    for free); faces are this tile's culled chunk (grid dim 1).
     ``counts_ref`` (scalar prefetch) holds the true face count per tile so
     chunks past it are skipped — tiles outside the silhouette cost only
     init + emit."""
@@ -196,18 +197,22 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
 
         @pl.when(j * face_chunk < counts_ref[i])
         def _work():
-            ty = (i // tiles_x).astype(jnp.float32)
-            tx = (i % tiles_x).astype(jnp.float32)
+            im = jax.lax.rem(i, n_tiles)           # tile within the view
+            ty = (im // tiles_x).astype(jnp.float32)
+            tx = (im % tiles_x).astype(jnp.float32)
             p = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1),
                                          0)[:, 0]
             qx = tx * tile + (p % tile).astype(jnp.float32) + 0.5 + x0f
             qy = ty * tile + (p // tile).astype(jnp.float32) + 0.5 + y0f
             pix = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=1)
 
+            # full f32 (HIGHEST): a 3x-bf16 split-dot variant measured only
+            # ~1% faster while adding ~7e-5 seam-pixel fuzz — the kernel is
+            # epilogue-bound, so exact arithmetic is free in practice
             vals = jnp.dot(pix, m_ref[0],
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
-            fc = vals.shape[1] // 8
+            fc = vals.shape[1] // 7
             w0 = vals[:, 0 * fc:1 * fc]
             w1 = vals[:, 1 * fc:2 * fc]
             w2 = vals[:, 2 * fc:3 * fc]
@@ -215,7 +220,10 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
             cb = vals[:, 4 * fc:5 * fc]
             cg = vals[:, 5 * fc:6 * fc]
             cr = vals[:, 6 * fc:7 * fc]
-            ar = vals[:, 7 * fc:8 * fc]
+            # the edge functions sum to the (constant) face area at every
+            # pixel — the explicit area row was redundant, recomputing it
+            # here cuts the dot and the packed layout by 1/8
+            ar = w0 + w1 + w2
 
             s = jnp.sign(ar)
             tol = 1e-4 * jnp.abs(ar)
@@ -252,37 +260,25 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
-                                   "face_chunk", "interpret", "x0", "y0"))
-def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
-                             colors: jnp.ndarray, pose: jnp.ndarray,
-                             K: jnp.ndarray, width: int, height: int,
-                             x0: int = 0, y0: int = 0, tile: int = 32,
-                             capacity: int = 1024, face_chunk: int = 128,
-                             interpret: bool = False):
-    """Tile-culled rasterization with the Pallas inner loop.
-
-    XLA does the per-tile face binning (bbox overlap + top_k gather, as in
-    rasterizer_tiled.py); the z-buffer loop runs in VMEM with persistent
-    accumulators.  Same contract/outputs as render_view.
-    """
-    from pose3d_tpu.render.rasterizer_tiled import _project_and_pack
-
+def _prepare_view(vertices, faces, colors, pose, K, width, height,
+                  x0, y0, tile, capacity, face_chunk, G):
+    """Project + bin + pack ONE pose -> (m_tiles [nt, 3, nch*7*fc],
+    counts [nt]).  vmap-able over poses (the batched sort is the point:
+    a lone 4F-element sort underutilizes the VPU lanes)."""
+    from pose3d_tpu.render.rasterizer_tiled import (_project_and_pack,
+                                                    bin_faces_to_tiles)
     cx_shift = x0 + width * 0.5
     cy_shift = y0 + height * 0.5
     M, area, valid, bb_min, bb_max = _project_and_pack(
         vertices, faces, colors, pose, K, cx_shift, cy_shift)
-    area = jnp.where(valid, area, 0.0)
-    arow = jnp.concatenate([jnp.zeros((len(area), 1, 2)),
-                            area[:, None, None]], axis=2)
-    M8 = jnp.concatenate([M, arow], axis=1)                  # [F, 8, 3]
+    # no explicit area row: the kernel recomputes area = w0 + w1 + w2
+    # (edge functions sum to the constant face area); invalid faces never
+    # reach the kernel — the binning drops them
 
-    F = M8.shape[0]
-    capacity = min(((capacity + face_chunk - 1) // face_chunk) * face_chunk,
-                   ((F + face_chunk - 1) // face_chunk) * face_chunk)
+    F = M.shape[0]
     padF = (-F) % capacity if F < capacity else (-F) % face_chunk
     if padF:
-        M8 = jnp.pad(M8, ((0, padF), (0, 0), (0, 0)))
+        M = jnp.pad(M, ((0, padF), (0, 0), (0, 0)))
         bb_min = jnp.pad(bb_min, ((0, padF), (0, 0)), constant_values=1e9)
         bb_max = jnp.pad(bb_max, ((0, padF), (0, 0)), constant_values=-1e9)
         valid = jnp.pad(valid, (0, padF))
@@ -291,34 +287,46 @@ def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     tiles_y = (height + tile - 1) // tile
     n_tiles = tiles_x * tiles_y
 
-    # counting-sort binning (rasterizer_tiled.bin_faces_to_tiles): one sort
-    # over (tile, face) pairs replaces the per-tile top_k that used to
-    # re-rank every padded face for every tile — the measured generation
-    # bottleneck.  The global (large-face) section is prepended per tile.
-    from pose3d_tpu.render.rasterizer_tiled import bin_faces_to_tiles
-    G = ((max(128, face_chunk) + face_chunk - 1)
-         // face_chunk) * face_chunk
     face_idx, face_ok, counts = bin_faces_to_tiles(
         bb_min, bb_max, valid, tiles_x, tiles_y, tile,
         x0 - cx_shift, y0 - cy_shift, capacity, G)
 
     cap_total = G + capacity
     n_chunks = cap_total // face_chunk
-    # gather per-tile face blocks + attribute-major chunk packing
-    Mt = M8[face_idx] * face_ok[..., None, None]   # [n_tiles, cap_total, 8, 3]
-    Mt = Mt.reshape(n_tiles, n_chunks, face_chunk, 8, 3)
-    m_tiles = Mt.transpose(0, 1, 3, 2, 4).reshape(n_tiles, -1, 3)
-    m_tiles = m_tiles.transpose(0, 2, 1)           # [n_tiles, 3, cap_total*8]
+    # gather + pack with the ATTRIBUTE axis leading: the resulting
+    # transpose moves contiguous [face_chunk, 3] blocks (1.5 KB) instead of
+    # 12-byte granules — the naive face-major pack was transpose-bound
+    M_am = jnp.transpose(M, (1, 0, 2))             # [7, F, 3]
+    Mt = M_am[:, face_idx] * face_ok[None, ..., None]  # [7, nt, cap_tot, 3]
+    Mt = Mt.reshape(7, n_tiles, n_chunks, face_chunk, 3)
+    m_tiles = jnp.transpose(Mt, (1, 2, 0, 3, 4))   # [nt, nch, 7, fc, 3]
+    m_tiles = m_tiles.reshape(n_tiles, -1, 3)
+    m_tiles = jnp.transpose(m_tiles, (0, 2, 1))    # [nt, 3, nch*7*fc]
+    return m_tiles, counts
+
+
+def _run_tile_kernel(m_tiles, counts, width, height, x0, y0, tile,
+                     face_chunk, interpret):
+    """Launch the z-buffer kernel over flattened (view, tile) programs and
+    stitch per-view images.  m_tiles [VT, 3, nch*7*fc], counts [VT]."""
+    tiles_x = (width + tile - 1) // tile
+    tiles_y = (height + tile - 1) // tile
+    n_tiles = tiles_x * tiles_y
+    VT = m_tiles.shape[0]
+    V = VT // n_tiles
+    n_chunks = m_tiles.shape[2] // (7 * face_chunk)
+    cx_shift = x0 + width * 0.5
+    cy_shift = y0 + height * 0.5
 
     sub = tile * tile // 128
     kernel = _make_tile_kernel(tiles_x, tile,
                                float(x0) - cx_shift, float(y0) - cy_shift,
-                               face_chunk)
+                               face_chunk, n_tiles)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles, n_chunks),
+        grid=(VT, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 3, 8 * face_chunk), lambda i, j, *_: (i, 0, j),
+            pl.BlockSpec((1, 3, 7 * face_chunk), lambda i, j, *_: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -336,18 +344,76 @@ def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 3, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((VT, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((VT, 3, sub, 128), jnp.float32),
         ],
         interpret=interpret,
     )(counts, m_tiles)
 
-    # stitch tiles back
-    depth = depth_t.reshape(tiles_y, tiles_x, tile, tile)
-    depth = depth.transpose(0, 2, 1, 3).reshape(tiles_y * tile,
-                                                tiles_x * tile)
-    color = color_t.transpose(0, 2, 3, 1).reshape(tiles_y, tiles_x, tile,
-                                                  tile, 3)
-    color = color.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile,
-                                                   tiles_x * tile, 3)
-    return color[:height, :width], depth[:height, :width]
+    # stitch tiles back per view
+    depth = depth_t.reshape(V, tiles_y, tiles_x, tile, tile)
+    depth = depth.transpose(0, 1, 3, 2, 4).reshape(V, tiles_y * tile,
+                                                   tiles_x * tile)
+    color = color_t.transpose(0, 2, 3, 1).reshape(V, tiles_y, tiles_x,
+                                                  tile, tile, 3)
+    color = color.transpose(0, 1, 3, 2, 4, 5).reshape(V, tiles_y * tile,
+                                                      tiles_x * tile, 3)
+    return color[:, :height, :width], depth[:, :height, :width]
+
+
+def _round_capacity(capacity, F, face_chunk):
+    return min(((capacity + face_chunk - 1) // face_chunk) * face_chunk,
+               ((F + face_chunk - 1) // face_chunk) * face_chunk)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
+                                   "face_chunk", "interpret", "x0", "y0"))
+def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
+                             colors: jnp.ndarray, pose: jnp.ndarray,
+                             K: jnp.ndarray, width: int, height: int,
+                             x0: int = 0, y0: int = 0, tile: int = 32,
+                             capacity: int = 1024, face_chunk: int = 128,
+                             interpret: bool = False):
+    """Tile-culled rasterization with the Pallas inner loop.
+
+    XLA does the face->tile binning (counting sort, rasterizer_tiled.py);
+    the z-buffer loop runs in VMEM with persistent accumulators.  Same
+    contract/outputs as render_view.
+    """
+    col, dep = render_views_tiled_pallas(
+        vertices, faces, colors, pose[None], K, width=width, height=height,
+        x0=x0, y0=y0, tile=tile, capacity=capacity, face_chunk=face_chunk,
+        interpret=interpret)
+    return col[0], dep[0]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
+                                   "face_chunk", "interpret", "x0", "y0"))
+def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
+                              colors: jnp.ndarray, poses: jnp.ndarray,
+                              K: jnp.ndarray, width: int, height: int,
+                              x0: int = 0, y0: int = 0, tile: int = 32,
+                              capacity: int = 1024, face_chunk: int = 128,
+                              interpret: bool = False):
+    """Batched tile-culled Pallas rendering: poses [V, 4, 4] ->
+    (color [V, h, w, 3], depth [V, h, w]).
+
+    The per-view prepare (projection, counting-sort binning, gather/pack)
+    is vmapped — one batched sort/gather for all V views — and the kernel
+    runs one grid over the flattened (view, tile) axis.  Keep V modest
+    (~8): the packed face blocks are ~20 MB per view at LineMOD scale.
+    """
+    F = faces.shape[0]
+    cap = _round_capacity(capacity, F, face_chunk)
+    G = ((max(128, face_chunk) + face_chunk - 1)
+         // face_chunk) * face_chunk
+
+    m_tiles, counts = jax.vmap(
+        lambda p: _prepare_view(vertices, faces, colors, p, K, width,
+                                height, x0, y0, tile, cap, face_chunk, G)
+    )(poses)
+    VT = m_tiles.shape[0] * m_tiles.shape[1]
+    m_tiles = m_tiles.reshape((VT,) + m_tiles.shape[2:])
+    counts = counts.reshape(VT)
+    return _run_tile_kernel(m_tiles, counts, width, height, x0, y0, tile,
+                            face_chunk, interpret)

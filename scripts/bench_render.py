@@ -94,6 +94,31 @@ def main():
     dt = _time_views(pallas_one, poses)
     print(f"tiled-Pallas: {dt*1e3:7.2f} ms/view ({1/dt:6.1f} views/s)",
           flush=True)
+
+    # production path: batched prepare + one kernel grid per 8 views
+    from pose3d_tpu.render.rasterizer_pallas import render_views_tiled_pallas
+
+    @jax.jit
+    def chain8(poses_, n):
+        def body(i, c):
+            col, dep = render_views_tiled_pallas(
+                verts, faces, colors, poses_ * (1.0 + 1e-12 * c), K,
+                width=sw, height=sh, x0=x0, y0=y0, tile=tile,
+                capacity=capacity, face_chunk=128)
+            return c * (1.0 + 1e-12 * jnp.sum(dep))
+        return jax.lax.fori_loop(0, n, body, 1.0)
+
+    p8 = poses[:8]
+    float(chain8(p8, 1))
+    float(chain8(p8, 9))
+    t0 = time.perf_counter(); float(chain8(p8, 1))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(chain8(p8, 9))
+    t_hi = time.perf_counter() - t0
+    dt = max(t_hi - t_lo, 1e-9) / (8 * 8)
+    print(f"tiled-Pallas batched(8): {dt*1e3:7.2f} ms/view "
+          f"({1/dt:6.1f} views/s)", flush=True)
+
     dt = _time_views(xla_one, poses)
     print(f"tiled-XLA:    {dt*1e3:7.2f} ms/view ({1/dt:6.1f} views/s)",
           flush=True)
