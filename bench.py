@@ -19,6 +19,7 @@ import time
 import numpy as np
 
 import jax
+import pose3d_tpu  # noqa: F401  (normalizes a pinned JAX_PLATFORMS=axon)
 
 if "--cpu-baseline" in sys.argv:
     # this image force-selects the axon TPU platform over the env var; the

@@ -15,4 +15,33 @@ re-architected for XLA's compilation model rather than translated.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _normalize_platform():
+    """Survive the image's pinned ``JAX_PLATFORMS=axon``.
+
+    Depending on the image revision, the tunneled-TPU PJRT plugin either
+    force-selects itself (env var ignored) or registers under the standard
+    ``tpu`` platform name — in the latter case a pinned ``axon`` makes any
+    backend init raise "Backend 'axon' is not in the list of known
+    backends".  Normalize to auto-select before the backend initializes;
+    explicit overrides (tests forcing ``cpu`` via jax.config) still win
+    because they run before first device use too.
+    """
+    if _os.environ.get("JAX_PLATFORMS") != "axon":
+        return
+    _os.environ["JAX_PLATFORMS"] = ""          # subprocesses inherit the fix
+    try:
+        import jax
+        # respect an explicit earlier choice (tests/dryrun force "cpu"
+        # through jax.config before importing this package)
+        if jax.config.jax_platforms in (None, "", "axon"):
+            jax.config.update("jax_platforms", "")  # env was read at import
+    except Exception:
+        pass  # backend already initialized (platform choice already made)
+
+
+_normalize_platform()
+
 from pose3d_tpu.config import Config, load_config  # noqa: F401

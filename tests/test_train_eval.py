@@ -186,3 +186,41 @@ def test_full_train_loop_with_logging(tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(out, "log" + cfg2.log_name))
     assert os.path.exists(os.path.join(out, "cm" + cfg2.log_name))
     assert checkpoint.latest(out, cfg2.net_name) is not None
+
+
+def test_knn_accuracy_counts():
+    # reference computeKNNAccuracy (src/networkevaluator.cpp:153-175):
+    # intra = maxSimTmpl[o][p][0] == maxSimKNNTmpl[o][p][1],
+    # inter = maxSimKNNTmpl[o][p][0] == o, both as % of all training poses
+    sim = np.zeros((2, 3, 2), np.int32)
+    sim[..., 0] = [[5, 6, 7], [8, 9, 10]]
+    knn = np.zeros((2, 3, 4), np.int32)
+    knn[..., 1] = [[5, 6, 0], [8, 0, 10]]      # 4/6 intra matches
+    knn[..., 0] = [[0, 0, 1], [1, 0, 0]]       # 3/6 inter matches
+    intra, inter = evaluator.compute_knn_accuracy(sim, knn)
+    np.testing.assert_allclose(intra, 400.0 / 6, rtol=1e-6)
+    np.testing.assert_allclose(inter, 50.0, rtol=1e-6)
+
+
+def test_manifold_is_3d_pca_of_descriptors():
+    # reference computeManifold (src/networkevaluator.cpp:56-90): PCA of all
+    # template descriptors projected to the top-3 components
+    spec = NETWORKS["manifold_rgbd_16"]
+    fn = descriptor_fn(spec)
+    params = init_params(jax.random.key(0), spec)
+    tmpl = jax.random.uniform(jax.random.key(1), (2, 5, 64, 64, 7))
+    cloud = evaluator.compute_manifold(fn, params, tmpl)
+    assert cloud.shape == (10, 3)
+    d = np.asarray(evaluator.compute_descriptors(
+        fn, params, tmpl.reshape(10, 64, 64, 7)))
+    c = d - d.mean(axis=0, keepdims=True)
+    # projection onto each principal axis is defined up to sign
+    _, s, vt = np.linalg.svd(c, full_matrices=False)
+    want = c @ vt[:3].T
+    for k in range(3):
+        err_pos = np.abs(cloud[:, k] - want[:, k]).max()
+        err_neg = np.abs(cloud[:, k] + want[:, k]).max()
+        assert min(err_pos, err_neg) < 1e-4
+    # variance ordering follows the spectrum
+    v = cloud.var(axis=0)
+    assert v[0] >= v[1] >= v[2]
