@@ -47,23 +47,35 @@ def cmd_train(args) -> int:
 
 
 def cmd_export_weights(args) -> int:
-    """Export the latest snapshot as a Caffe-readable .caffemodel[.h5]."""
+    """Export the latest snapshot as a Caffe-readable .caffemodel[.h5].
+
+    Pure weight-format conversion: builds the checkpoint restore template
+    directly (params + opt + RNG + iter, exactly Solver.init_state minus
+    the mesh placement) — no dataset generation or device sample upload.
+    """
+    import jax
+    import jax.numpy as jnp
     from pose3d_tpu.config import load_config
+    from pose3d_tpu.models import init_params
     from pose3d_tpu.models.caffe_io import save_caffemodel
+    from pose3d_tpu.models.prototxt import load_spec
     from pose3d_tpu.train import checkpoint
-    from pose3d_tpu.train.solver import Solver
+    from pose3d_tpu.train.optim import caffe_sgd
     cfg = load_config(args.config)
-    from pose3d_tpu.data.dataset import DatasetManager
-    db = DatasetManager(cfg)
-    db.generate_datasets()
-    solver = Solver(cfg, db.to_device())
     found = checkpoint.latest(cfg.output_path, cfg.net_name)
     if not found:
         print(f"no snapshot for {cfg.net_name} in {cfg.output_path}",
               file=sys.stderr)
         return 1
-    state = checkpoint.restore(found[0], solver.init_state())
-    save_caffemodel(args.out, state["params"], solver.spec)
+    spec = load_spec(cfg.network_path, cfg.net_name)
+    kp, kr = jax.random.split(jax.random.key(cfg.seed))
+    params0 = init_params(kp, spec)
+    tx = caffe_sgd(cfg.learning_rate, cfg.momentum, cfg.weight_decay,
+                   cfg.learning_policy, cfg.step_size, cfg.gamma)
+    template = {"params": params0, "opt": tx.init(params0), "key": kr,
+                "iter": jnp.zeros((), jnp.int32)}
+    state = checkpoint.restore(found[0], template)
+    save_caffemodel(args.out, state["params"], spec)
     print(f"wrote {args.out} (from {found[0]})")
     return 0
 

@@ -283,6 +283,13 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     overlap = max_tile_overlap(mesh.vertices, mesh.faces, mesh.colors,
                                poses[0], cam, sw, sh, x0, y0, tile)
     capacity = max(256, int(np.ceil(overlap * 1.5 / 256)) * 256)
+    # size the binning's shared >2x2-tile face section the same way
+    # (coarse meshes near the camera can exceed the 256 default, which
+    # would silently drop geometry)
+    from pose3d_tpu.render.rasterizer_tiled import count_large_faces
+    n_large = count_large_faces(mesh.vertices, mesh.faces, mesh.colors,
+                                poses[0], cam, sw, sh, x0, y0, tile)
+    global_cap = max(256, int(np.ceil(n_large * 1.5 / 256)) * 256)
 
     def _post(col, dep):
         if textured:
@@ -308,7 +315,7 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
             cols, deps = _render(verts, faces, colors, pose_chunk, K,
                                  width=sw, height=sh, x0=x0, y0=y0,
                                  tile=tile, capacity=capacity,
-                                 face_chunk=256)
+                                 face_chunk=256, global_capacity=global_cap)
             return jax.vmap(_post)(cols, deps)
     else:
         @jax.jit
@@ -318,7 +325,8 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                                              width=sw, height=sh, x0=x0,
                                              y0=y0, tile=tile,
                                              capacity=capacity,
-                                             face_chunk=256)
+                                             face_chunk=256,
+                                             global_capacity=global_cap)
                 return _post(col, dep)
             return jax.lax.map(one, pose_chunk)
 

@@ -363,11 +363,10 @@ def caffe_from_params(params: Dict,
 def _spec_has(spec: NetSpec, name: str) -> bool:
     if name.startswith("bin_") and not spec.bin_head:
         return False
-    if name == "prelu4":
+    if name == "prelu4":          # the frozen relu_ip2 before the bin head
         return spec.bin_head
-    if name.startswith("prelu"):
-        return spec.activation == "prelu" or (
-            spec.bin_head and name in ("prelu4",))
+    if name.startswith("prelu"):  # prelu1-3: the trunk's activation params
+        return spec.activation == "prelu"
     return True
 
 

@@ -237,7 +237,7 @@ def _load_obj(path: str) -> Mesh:
     mesh_uv = None
     mesh_tex = None
     if tcoords and vert_uv:
-        tex = _load_texture(os.path.splitext(path)[0] + ".png")
+        tex = _load_texture(os.path.splitext(path)[0] + ".png", resize=True)
         if tex is not None:
             th, tw = tex.shape[:2]
             uv = np.asarray(tcoords, np.float32)

@@ -177,15 +177,19 @@ def render_view_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
 # ----------------------------------------------------------- tiled + Pallas
 
 def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
-                      face_chunk: int, n_tiles: int):
+                      face_chunk: int, n_tiles: int, g_cap: int):
     """Kernel for the culled path: pixel coordinates derived from the tile
     index (grid dim 0, modulo ``n_tiles`` so a flattened view axis rides
     for free); faces are this tile's culled chunk (grid dim 1).
-    ``counts_ref`` (scalar prefetch) holds the true face count per tile so
-    chunks past it are skipped — tiles outside the silhouette cost only
+
+    The packed face list is [g_cap global slots | per-tile segment];
+    scalar-prefetch ``g_ref`` / ``seg_ref`` hold the REAL face counts of
+    each section, so zero-padded chunks — the whole global section when the
+    mesh has no >2x2-tile faces (the common case), the segment tail, and
+    entire silhouette-exterior tiles — are skipped, costing only
     init + emit."""
 
-    def kernel(counts_ref, m_ref, depth_ref, color_ref, accd, accc):
+    def kernel(g_ref, seg_ref, m_ref, depth_ref, color_ref, accd, accc):
         i = pl.program_id(0)
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -195,7 +199,11 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
             accd[:] = jnp.full_like(accd, jnp.inf)
             accc[:] = jnp.zeros_like(accc)
 
-        @pl.when(j * face_chunk < counts_ref[i])
+        start = j * face_chunk
+        in_global = start < g_ref[i]
+        in_seg = (start >= g_cap) & (start - g_cap < seg_ref[i])
+
+        @pl.when(in_global | in_seg)
         def _work():
             im = jax.lax.rem(i, n_tiles)           # tile within the view
             ty = (im // tiles_x).astype(jnp.float32)
@@ -263,8 +271,8 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
 def _prepare_view(vertices, faces, colors, pose, K, width, height,
                   x0, y0, tile, capacity, face_chunk, G):
     """Project + bin + pack ONE pose -> (m_tiles [nt, 3, nch*7*fc],
-    counts [nt]).  vmap-able over poses (the batched sort is the point:
-    a lone 4F-element sort underutilizes the VPU lanes)."""
+    g_counts [nt], seg_len [nt]).  vmap-able over poses (the batched sort
+    is the point: a lone 4F-element sort underutilizes the VPU lanes)."""
     from pose3d_tpu.render.rasterizer_tiled import (_project_and_pack,
                                                     bin_faces_to_tiles)
     cx_shift = x0 + width * 0.5
@@ -287,7 +295,7 @@ def _prepare_view(vertices, faces, colors, pose, K, width, height,
     tiles_y = (height + tile - 1) // tile
     n_tiles = tiles_x * tiles_y
 
-    face_idx, face_ok, counts = bin_faces_to_tiles(
+    face_idx, face_ok, seg_len, g_count = bin_faces_to_tiles(
         bb_min, bb_max, valid, tiles_x, tiles_y, tile,
         x0 - cx_shift, y0 - cy_shift, capacity, G)
 
@@ -302,13 +310,14 @@ def _prepare_view(vertices, faces, colors, pose, K, width, height,
     m_tiles = jnp.transpose(Mt, (1, 2, 0, 3, 4))   # [nt, nch, 7, fc, 3]
     m_tiles = m_tiles.reshape(n_tiles, -1, 3)
     m_tiles = jnp.transpose(m_tiles, (0, 2, 1))    # [nt, 3, nch*7*fc]
-    return m_tiles, counts
+    return m_tiles, jnp.broadcast_to(g_count, seg_len.shape), seg_len
 
 
-def _run_tile_kernel(m_tiles, counts, width, height, x0, y0, tile,
-                     face_chunk, interpret):
+def _run_tile_kernel(m_tiles, g_counts, seg_len, width, height, x0, y0,
+                     tile, face_chunk, g_cap, interpret):
     """Launch the z-buffer kernel over flattened (view, tile) programs and
-    stitch per-view images.  m_tiles [VT, 3, nch*7*fc], counts [VT]."""
+    stitch per-view images.  m_tiles [VT, 3, nch*7*fc], g_counts/seg_len
+    [VT] (real face counts of the global/segment sections)."""
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     n_tiles = tiles_x * tiles_y
@@ -321,9 +330,9 @@ def _run_tile_kernel(m_tiles, counts, width, height, x0, y0, tile,
     sub = tile * tile // 128
     kernel = _make_tile_kernel(tiles_x, tile,
                                float(x0) - cx_shift, float(y0) - cy_shift,
-                               face_chunk, n_tiles)
+                               face_chunk, n_tiles, g_cap)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(VT, n_chunks),
         in_specs=[
             pl.BlockSpec((1, 3, 7 * face_chunk), lambda i, j, *_: (i, 0, j),
@@ -348,7 +357,7 @@ def _run_tile_kernel(m_tiles, counts, width, height, x0, y0, tile,
             jax.ShapeDtypeStruct((VT, 3, sub, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(counts, m_tiles)
+    )(g_counts, seg_len, m_tiles)
 
     # stitch tiles back per view
     depth = depth_t.reshape(V, tiles_y, tiles_x, tile, tile)
@@ -367,12 +376,14 @@ def _round_capacity(capacity, F, face_chunk):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
-                                   "face_chunk", "interpret", "x0", "y0"))
+                                   "face_chunk", "interpret", "x0", "y0",
+                                   "global_capacity"))
 def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
                              colors: jnp.ndarray, pose: jnp.ndarray,
                              K: jnp.ndarray, width: int, height: int,
                              x0: int = 0, y0: int = 0, tile: int = 32,
                              capacity: int = 1024, face_chunk: int = 128,
+                             global_capacity: int | None = None,
                              interpret: bool = False):
     """Tile-culled rasterization with the Pallas inner loop.
 
@@ -383,17 +394,19 @@ def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     col, dep = render_views_tiled_pallas(
         vertices, faces, colors, pose[None], K, width=width, height=height,
         x0=x0, y0=y0, tile=tile, capacity=capacity, face_chunk=face_chunk,
-        interpret=interpret)
+        global_capacity=global_capacity, interpret=interpret)
     return col[0], dep[0]
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
-                                   "face_chunk", "interpret", "x0", "y0"))
+                                   "face_chunk", "interpret", "x0", "y0",
+                                   "global_capacity"))
 def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
                               colors: jnp.ndarray, poses: jnp.ndarray,
                               K: jnp.ndarray, width: int, height: int,
                               x0: int = 0, y0: int = 0, tile: int = 32,
                               capacity: int = 1024, face_chunk: int = 128,
+                              global_capacity: int | None = None,
                               interpret: bool = False):
     """Batched tile-culled Pallas rendering: poses [V, 4, 4] ->
     (color [V, h, w, 3], depth [V, h, w]).
@@ -402,18 +415,21 @@ def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     is vmapped — one batched sort/gather for all V views — and the kernel
     runs one grid over the flattened (view, tile) axis.  Keep V modest
     (~8): the packed face blocks are ~20 MB per view at LineMOD scale.
+    ``global_capacity`` bounds the >2x2-tile face section (size it with
+    rasterizer_tiled.count_large_faces; zero-cost when no such faces
+    exist thanks to the section-aware chunk skipping).
     """
     F = faces.shape[0]
     cap = _round_capacity(capacity, F, face_chunk)
-    G = ((max(128, face_chunk) + face_chunk - 1)
+    G = ((max(128, global_capacity or face_chunk) + face_chunk - 1)
          // face_chunk) * face_chunk
 
-    m_tiles, counts = jax.vmap(
+    m_tiles, g_counts, seg_len = jax.vmap(
         lambda p: _prepare_view(vertices, faces, colors, p, K, width,
                                 height, x0, y0, tile, cap, face_chunk, G)
     )(poses)
     VT = m_tiles.shape[0] * m_tiles.shape[1]
     m_tiles = m_tiles.reshape((VT,) + m_tiles.shape[2:])
-    counts = counts.reshape(VT)
-    return _run_tile_kernel(m_tiles, counts, width, height, x0, y0, tile,
-                            face_chunk, interpret)
+    return _run_tile_kernel(m_tiles, g_counts.reshape(VT),
+                            seg_len.reshape(VT), width, height, x0, y0,
+                            tile, face_chunk, G, interpret)

@@ -68,10 +68,17 @@ def bin_faces_to_tiles(bb_min: jnp.ndarray, bb_max: jnp.ndarray,
     Overlap semantics match the previous test exactly:
     ``bb_max >= lo && bb_min < lo + tile`` per axis.
 
-    Returns (face_idx [n_tiles, G+capacity] int32,
+    Overflow policy: large faces beyond ``global_capacity`` are DROPPED
+    (trace-time static shapes) — size G with ``count_large_faces`` exactly
+    like ``capacity`` is sized with ``max_tile_overlap``.  Dense meshes at
+    sane view distances have zero large faces, in which case the global
+    section costs nothing (g_count == 0 lets consumers skip it).
+
+    Returns (face_idx [n_tiles, G+capacity] int32 — G global slots then
+             the per-tile segment,
              face_ok  [n_tiles, G+capacity] bool,
-             counts   [n_tiles] int32 — faces of work incl. the global
-             section; 0 means the tile can be skipped entirely).
+             seg_len  [n_tiles] int32 — real faces in the segment section,
+             g_count  scalar int32 — real faces in the global section).
     """
     F = bb_min.shape[0]
     n_tiles = tiles_x * tiles_y
@@ -134,24 +141,25 @@ def bin_faces_to_tiles(bb_min: jnp.ndarray, bb_max: jnp.ndarray,
         gscore = jnp.pad(gscore, (0, G - F))
         gfaces = jnp.pad(gfaces, (0, G - F))
     g_ok = gscore > 0
+    g_count = jnp.minimum(jnp.sum(large.astype(jnp.int32)), G)
 
     face_idx = jnp.concatenate(
         [jnp.broadcast_to(gfaces[None], (n_tiles, G)),
          seg_faces], axis=1).astype(jnp.int32)
     face_ok = jnp.concatenate(
         [jnp.broadcast_to(g_ok[None], (n_tiles, G)), seg_ok], axis=1)
-    counts = jnp.where(seg_len + jnp.sum(gscore) > 0, G + seg_len, 0)
-    return face_idx, face_ok, counts.astype(jnp.int32)
+    return face_idx, face_ok, seg_len.astype(jnp.int32), g_count
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
-                                   "face_chunk"))
+                                   "face_chunk", "global_capacity"))
 def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
                       colors: jnp.ndarray, pose: jnp.ndarray,
                       K: jnp.ndarray, width: int, height: int,
                       x0: int = 0, y0: int = 0, tile: int = 64,
                       capacity: int = 1024,
-                      face_chunk: int = 256
+                      face_chunk: int = 256,
+                      global_capacity: int | None = None
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Tile-culled render; same contract as rasterizer.render_view."""
     cx_shift = x0 + width * 0.5
@@ -182,10 +190,11 @@ def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
     ty0 = (jnp.arange(tiles_y) * tile + y0 - cy_shift).astype(jnp.float32)
 
     # counting-sort binning: one sort instead of a top_k over all faces
-    # per tile; big faces ride the shared global section
-    G = ((max(128, face_chunk) + face_chunk - 1)
+    # per tile; big faces ride the shared global section (size it with
+    # count_large_faces when a mesh/pose can exceed the default)
+    G = ((max(128, global_capacity or face_chunk) + face_chunk - 1)
          // face_chunk) * face_chunk
-    face_idx, face_ok, _ = bin_faces_to_tiles(
+    face_idx, face_ok, _, _ = bin_faces_to_tiles(
         bb_min, bb_max, valid, tiles_x, tiles_y, tile,
         x0 - cx_shift, y0 - cy_shift, capacity, G)
 
@@ -245,6 +254,34 @@ def max_tile_overlap(vertices, faces, colors, pose, K, width, height,
                            (bb_min[:, 1] < lo_y + tile) & valid))
             best = max(best, n)
     return best
+
+
+def count_large_faces(vertices, faces, colors, pose, K, width, height,
+                      x0: int = 0, y0: int = 0, tile: int = 64) -> int:
+    """Faces whose screen bbox spans more than 2x2 tiles for a mesh/pose —
+    the population of the binning's shared global section.  Host utility
+    for sizing ``global_capacity`` (cf. max_tile_overlap for ``capacity``);
+    zero for dense meshes at sane view distances."""
+    cx_shift = x0 + width * 0.5
+    cy_shift = y0 + height * 0.5
+    _, _, valid, bb_min, bb_max = _project_and_pack(
+        jnp.asarray(vertices), jnp.asarray(faces), jnp.asarray(colors),
+        jnp.asarray(pose), jnp.asarray(K), cx_shift, cy_shift)
+    import numpy as np
+    bb_min = np.asarray(bb_min)
+    bb_max = np.asarray(bb_max)
+    ok = np.asarray(valid)
+    tiles_x = (width + tile - 1) // tile
+    tiles_y = (height + tile - 1) // tile
+    txl = np.clip(np.floor((bb_min[:, 0] - (x0 - cx_shift)) / tile), 0,
+                  tiles_x - 1)
+    txh = np.clip(np.floor((bb_max[:, 0] - (x0 - cx_shift)) / tile), 0,
+                  tiles_x - 1)
+    tyl = np.clip(np.floor((bb_min[:, 1] - (y0 - cy_shift)) / tile), 0,
+                  tiles_y - 1)
+    tyh = np.clip(np.floor((bb_max[:, 1] - (y0 - cy_shift)) / tile), 0,
+                  tiles_y - 1)
+    return int(np.sum(ok & ((txh - txl > 1) | (tyh - tyl > 1))))
 
 
 def render_views_tiled(vertices, faces, colors, poses, K, width, height,

@@ -222,7 +222,12 @@ class StreamingSolver:
                              chunk: int = 512) -> jnp.ndarray:
         """Descriptors over a native cache without residency: gather fixed
         chunks on host, forward on device."""
-        fn = jax.jit(descriptor_fn(self.spec))
+        # one jit wrapper for the solver's lifetime — a fresh closure per
+        # call would miss the jit cache (keyed by function identity) and
+        # retrace on every logging/bootstrap pass
+        fn = getattr(self, "_desc_jit", None)
+        if fn is None:
+            fn = self._desc_jit = jax.jit(descriptor_fn(self.spec))
         outs = []
         for s in range(0, n, chunk):
             rows = np.arange(s, min(s + chunk, n))

@@ -1,0 +1,93 @@
+"""Forward-path profile on the live device: canonical vs s2d-packed trunk,
+plus per-layer deltas (conv1 / conv2 / fc) by truncated-net timing.
+
+Run: PYTHONPATH=. python scripts/profile_forward.py [batch]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import pose3d_tpu  # noqa: F401  (platform normalization)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/p3d_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+
+def timed(fn, args, n_lo=2, n_hi=34):
+    """Delta-method: time a jitted chain of n dependent calls for small and
+    large n; the tunnel's sync latency cancels in the difference."""
+    def chain(a, n):
+        def body(_, c):
+            out = fn(*a[:-1], c)
+            return c * (1.0 + 1e-12 * jnp.sum(out).astype(c.dtype))
+        r = jax.lax.fori_loop(0, n, body, a[-1])
+        return jnp.sum(fn(*a[:-1], r))
+    jc = jax.jit(chain, static_argnums=(1,))
+    float(jc(args, n_lo)); float(jc(args, n_hi))
+    t0 = time.perf_counter(); float(jc(args, n_lo))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(jc(args, n_hi))
+    t_hi = time.perf_counter() - t0
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+
+
+def main(batch=1024):
+    from pose3d_tpu.models import NETWORKS, init_params, apply
+    from pose3d_tpu.models import manifold as M
+    from pose3d_tpu.models.fastpath import apply_fast, s2d_conv_pool
+
+    spec = NETWORKS["manifold_rgbd_16"]
+    params = init_params(jax.random.key(0), spec)
+    x = jax.random.uniform(jax.random.key(1), (batch, 64, 64, 4))
+    print(f"device: {jax.devices()[0]}  batch {batch}", flush=True)
+
+    for label, fn in [("apply (canonical)", apply),
+                      ("apply_fast (s2d) ", apply_fast)]:
+        for dtype, dlabel in [(None, "f32/bf16-mxu"),
+                              (jnp.bfloat16, "bf16        ")]:
+            dt = timed(lambda p, v: fn(p, spec, v, compute_dtype=dtype),
+                       (params, x))
+            print(f"{label} {dlabel} {dt*1e3:7.3f} ms  "
+                  f"{batch/dt:,.0f} patches/s", flush=True)
+
+    # isolated conv stages
+    c1 = lambda p, v: M._act(spec, p, "prelu1", M._ceil_maxpool2(
+        M._conv(v, p["conv1"]["w"], p["conv1"]["b"])))
+    c1f = lambda p, v: M._act(spec, p, "prelu1", s2d_conv_pool(
+        v, p["conv1"]["w"], p["conv1"]["b"]))
+    dt = timed(c1, (params, x))
+    print(f"conv1+pool canonical {dt*1e3:7.3f} ms", flush=True)
+    dt = timed(c1f, (params, x))
+    print(f"conv1+pool s2d       {dt*1e3:7.3f} ms", flush=True)
+
+    x2 = jax.random.uniform(jax.random.key(2), (batch, 29, 29, 16))
+    c2 = lambda p, v: M._ceil_maxpool2(M._conv(v, p["conv2"]["w"],
+                                               p["conv2"]["b"]))
+    c2f = lambda p, v: s2d_conv_pool(v, p["conv2"]["w"], p["conv2"]["b"])
+    dt = timed(c2, (params, x2))
+    print(f"conv2+pool canonical {dt*1e3:7.3f} ms", flush=True)
+    dt = timed(c2f, (params, x2))
+    print(f"conv2+pool s2d       {dt*1e3:7.3f} ms", flush=True)
+
+    # training step proxy: loss grad through both paths
+    from pose3d_tpu.models import losses
+
+    def grad_of(fwd):
+        def loss(p, v):
+            return losses.spec_loss(fwd(p, spec, v), spec.loss_slices)
+        g = jax.grad(loss)
+        return lambda p, v: g(p, v)["fc1"]["w"]
+    xb = jax.random.uniform(jax.random.key(3), (300, 64, 64, 4))
+    dt = timed(grad_of(apply), (params, xb))
+    print(f"grad canonical (300) {dt*1e3:7.3f} ms", flush=True)
+    dt = timed(grad_of(apply_fast), (params, xb))
+    print(f"grad s2d       (300) {dt*1e3:7.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)

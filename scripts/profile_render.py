@@ -84,10 +84,10 @@ def main():
         verts, faces, colors, jnp.asarray(pose), K, cx_shift, cy_shift)
 
     def bin_fn(bmin):
-        fi, fo, cnt = bin_faces_to_tiles(bmin, bb_max, valid, tiles_x,
-                                         tiles_y, tile, x0 - cx_shift,
-                                         y0 - cy_shift, capacity, 128)
-        return jnp.sum(fi) + jnp.sum(cnt)
+        fi, fo, seg, gc = bin_faces_to_tiles(bmin, bb_max, valid, tiles_x,
+                                             tiles_y, tile, x0 - cx_shift,
+                                             y0 - cy_shift, capacity, 128)
+        return jnp.sum(fi) + jnp.sum(seg) + gc
     dt = timed(jax.jit(bin_fn), (bb_min,))
     print(f"bin (sort+seg)     {dt*1e3:7.2f} ms", flush=True)
 
@@ -96,9 +96,9 @@ def main():
     arow = jnp.concatenate([jnp.zeros((len(area0), 1, 2)),
                             area0[:, None, None]], axis=2)
     M8 = jnp.concatenate([M, arow], axis=1)
-    fi, fo, cnt = bin_faces_to_tiles(bb_min, bb_max, valid, tiles_x,
-                                     tiles_y, tile, x0 - cx_shift,
-                                     y0 - cy_shift, capacity, 128)
+    fi, fo, _, _ = bin_faces_to_tiles(bb_min, bb_max, valid, tiles_x,
+                                      tiles_y, tile, x0 - cx_shift,
+                                      y0 - cy_shift, capacity, 128)
 
     def gather_fn(m8):
         m_am = jnp.transpose(m8[:, :7], (1, 0, 2))          # [7, F, 3]

@@ -57,3 +57,50 @@ def test_pallas_window_offset():
                                     y0=16, interpret=_interp())
     np.testing.assert_allclose(np.asarray(depw),
                                np.asarray(depf)[16:48, 16:48], atol=1e-5)
+
+
+def test_large_faces_use_global_section():
+    # two triangles spanning nearly the whole window (>2x2 tiles of 32 px)
+    # must render through the binning's shared global section
+    verts = jnp.asarray([[-0.2, -0.2, 0.0], [0.2, -0.2, 0.0],
+                         [0.2, 0.2, 0.0], [-0.2, 0.2, 0.0]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    colors = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                          [0.0, 0.0, 1.0], [1.0, 1.0, 0.0]], jnp.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 0.35
+    args = (verts, faces, colors, jnp.asarray(T), K)
+
+    from pose3d_tpu.render.rasterizer_tiled import count_large_faces
+    n_large = count_large_faces(verts, faces, colors, T, K, 160, 160,
+                                tile=32)
+    assert n_large == 2
+
+    from pose3d_tpu.render.rasterizer_pallas import render_view_tiled_pallas
+    colb, depb = render_view(*args, width=160, height=160, face_chunk=8)
+    colp, depp = render_view_tiled_pallas(*args, width=160, height=160,
+                                          tile=32, capacity=128,
+                                          face_chunk=128,
+                                          interpret=_interp())
+    assert float(jnp.sum(depp > 0)) > 1000    # actually covered pixels
+    np.testing.assert_allclose(np.asarray(depp), np.asarray(depb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(colp), np.asarray(colb),
+                               atol=1e-5)
+
+
+def test_bin_counts_sections():
+    # seg_len counts only the per-tile segment; g_count only >2x2 spans
+    from pose3d_tpu.render.rasterizer_tiled import bin_faces_to_tiles
+    bb_min = jnp.asarray([[1.0, 1.0], [0.0, 0.0], [40.0, 8.0]])
+    bb_max = jnp.asarray([[10.0, 10.0], [90.0, 90.0], [50.0, 12.0]])
+    valid = jnp.asarray([True, True, True])
+    fi, fo, seg_len, g_count = bin_faces_to_tiles(
+        bb_min, bb_max, valid, 4, 4, 32, 0.0, 0.0, 8, 8)
+    assert int(g_count) == 1                   # the 0..90 face
+    seg = np.asarray(seg_len).reshape(4, 4)
+    assert seg[0, 0] == 1 and seg[0, 1] == 1   # small faces' tiles
+    assert seg.sum() == 2
+    # global slots precede the segment and carry the large face
+    assert np.asarray(fo)[:, 0].all()
+    assert (np.asarray(fi)[:, 0] == 1).all()
