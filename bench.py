@@ -20,6 +20,7 @@ import numpy as np
 
 import jax
 import pose3d_tpu  # noqa: F401  (normalizes a pinned JAX_PLATFORMS=axon)
+from pose3d_tpu.utils.tpuguard import require_tpu
 
 if "--cpu-baseline" in sys.argv:
     # this image force-selects the axon TPU platform over the env var; the
@@ -77,6 +78,7 @@ def main():
         print(json.dumps({"cpu_pps": _measure(256, iters=4)}))
         return
 
+    on_tpu = require_tpu()
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
     tpu_pps = _measure(1024, iters=64)
@@ -98,6 +100,7 @@ def main():
         "value": round(tpu_pps, 1),
         "unit": "patches/sec/chip",
         "vs_baseline": round(tpu_pps / cpu_pps, 2) if cpu_pps else None,
+        "platform": "tpu" if on_tpu else "cpu-fallback",
     }))
 
 

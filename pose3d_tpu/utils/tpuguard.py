@@ -1,0 +1,62 @@
+"""Guard against silent CPU fallback on the tunneled TPU.
+
+Two failure modes make JAX silently report CPU numbers as TPU numbers:
+
+* The tunnel plugin lives in an out-of-tree site dir (the ambient
+  ``PYTHONPATH=/root/.axon_site`` carries the PJRT plugin and its
+  sitecustomize) — any invocation that OVERWRITES PYTHONPATH (e.g.
+  ``PYTHONPATH=. python script.py``) silently loses the plugin and bare
+  libtpu init fails ("could not determine TPU worker hostnames").
+* Transient tunnel/teardown races while another process holds the chip.
+
+Plugin discovery runs once per process, so recovery means repairing the
+environment and re-exec'ing the script — not clearing backends.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_PLUGIN_SITES = ("/root/.axon_site",)
+
+
+def require_tpu(retries: int = 4, wait_s: int = 30,
+                env: str = "P3D_TPU_RETRY") -> bool:
+    """Re-exec the current script until the TPU backend is up.
+
+    Repairs a clobbered PYTHONPATH (re-appending known plugin site dirs)
+    before the first retry.  Returns True when running on an accelerator;
+    False when retries are exhausted (caller should label its output as
+    CPU-only).  No-op when the process was explicitly pointed at CPU.
+    """
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return False
+    if jax.default_backend() != "cpu":
+        return True
+    n = int(os.environ.get(env, "0"))
+    # re-exec replays sys.argv — only possible for real script files
+    # (python -c / REPL invocations cannot be replayed)
+    can_reexec = bool(sys.argv and os.path.exists(sys.argv[0]))
+    if n < retries and can_reexec:
+        pp = os.environ.get("PYTHONPATH", "")
+        parts = [p for p in pp.split(":") if p]
+        for site in _PLUGIN_SITES:
+            if os.path.isdir(site) and site not in parts:
+                parts.append(site)
+                print(f"PYTHONPATH was missing {site} (the TPU plugin "
+                      "site dir) — repairing and re-exec'ing",
+                      file=sys.stderr, flush=True)
+        os.environ["PYTHONPATH"] = ":".join(parts)
+        delay = 0 if n == 0 else wait_s      # first retry: repair only
+        print(f"TPU init failed (attempt {n + 1}/{retries}); "
+              f"re-exec in {delay} s", file=sys.stderr, flush=True)
+        time.sleep(delay)
+        os.environ[env] = str(n + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    print("WARNING: TPU init failed repeatedly — running on CPU; "
+          "measurements below are NOT TPU numbers", file=sys.stderr,
+          flush=True)
+    return False

@@ -36,6 +36,9 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
         # Run scaled down (--objects 2 --train-subdiv 2 --rounds 1) — the
         # recorded RATES extrapolate to the full workload.
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from pose3d_tpu.utils.tpuguard import require_tpu
+        require_tpu()
     jax.config.update("jax_compilation_cache_dir", "/tmp/p3d_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp

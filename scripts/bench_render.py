@@ -44,6 +44,8 @@ def _time_views(render_one, poses, n_lo=4, n_hi=36):
 
 
 def main():
+    from pose3d_tpu.utils.tpuguard import require_tpu
+    require_tpu()
     from pose3d_tpu.ops.sphere import create_view_poses
     from pose3d_tpu.render import make_test_mesh
     from pose3d_tpu.render.rasterizer_tiled import (max_tile_overlap,

@@ -53,6 +53,8 @@ def timed(fn, *args, n_lo=4, n_hi=260):
 
 
 def main():
+    from pose3d_tpu.utils.tpuguard import require_tpu
+    require_tpu()
     print(f"device: {jax.devices()[0]}", flush=True)
     key = jax.random.key(0)
     keys = jax.random.split(key, B)

@@ -37,6 +37,8 @@ def timed(fn, args, n_lo=2, n_hi=34):
 
 
 def main(batch=1024):
+    from pose3d_tpu.utils.tpuguard import require_tpu
+    require_tpu()
     from pose3d_tpu.models import NETWORKS, init_params, apply
     from pose3d_tpu.models import manifold as M
     from pose3d_tpu.models.fastpath import apply_fast, s2d_conv_pool

@@ -36,6 +36,8 @@ def timed(jfn, args, n_lo=4, n_hi=68):
 
 
 def main():
+    from pose3d_tpu.utils.tpuguard import require_tpu
+    require_tpu()
     from pose3d_tpu.render import make_test_mesh
     from pose3d_tpu.render.rasterizer_tiled import (_project_and_pack,
                                                     bin_faces_to_tiles,

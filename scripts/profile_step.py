@@ -79,6 +79,8 @@ def _timed(fn, state, n):
 
 
 def main():
+    from pose3d_tpu.utils.tpuguard import require_tpu
+    require_tpu()
     from pose3d_tpu.config import Config
     from pose3d_tpu.data.batcher import build_batch
     from pose3d_tpu.data.augment import make_noise_bank, random_fill
