@@ -53,12 +53,17 @@ def _measure(batch: int, iters: int, warmup: int = 0) -> float:
 
     @jax.jit
     def chain(params, x, n):
-        def body(_, carry):
-            d = f(params, carry)
-            # data dependence between iterations prevents overlap/elision
-            return carry * (1.0 + 1e-12 * jnp.mean(d))
-        out = jax.lax.fori_loop(0, n, body, x)
-        return jnp.sum(f(params, out))
+        def body(_, p):
+            d = f(p, x)
+            # data dependence between iterations prevents overlap/elision.
+            # Thread it through the ~100k-float params (1e-12 perturbation,
+            # numerically inert), NOT the 114 MB input batch: rewriting the
+            # input tensor every iteration costs more HBM traffic than the
+            # forward pass itself and would understate throughput ~4x.
+            eps = 1e-12 * jnp.mean(d)
+            return jax.tree.map(lambda w: w + eps.astype(w.dtype), p)
+        pn = jax.lax.fori_loop(0, n, body, params)
+        return jnp.sum(f(pn, x))
 
     float(chain(params, x, 1))                    # compile + first sync
     t0 = time.perf_counter()

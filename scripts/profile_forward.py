@@ -1,7 +1,16 @@
-"""Forward-path profile on the live device: canonical vs s2d-packed trunk,
-plus per-layer deltas (conv1 / conv2 / fc) by truncated-net timing.
+"""Forward-path profile on the live device: full trunk + per-layer deltas
+(conv1 / conv2 / fc) by truncated-net timing.
 
-Run: PYTHONPATH=. python scripts/profile_forward.py [batch]
+Measured on TPU v5e (batch 1024, 4-ch input): apply 0.91 ms f32/bf16-mxu,
+0.80 ms bf16 (~1.1-1.3 M patches/s); conv1+pool is ~75% of the forward.
+A space-to-depth MXU-packing variant of the trunk (2x2 block -> 4x output
+columns) was prototyped and measured SLOWER on this chip (1.10 ms apply,
+0.89 ms conv1 vs 0.68 ms canonical; grad 0.28 ms vs 0.17 ms): XLA's native
+conv tiling already hides the column underfill, and the repack adds a
+reshape/transpose pass over the activations that costs more HBM traffic
+than the MXU occupancy buys back.  The canonical path stays production.
+
+Run: PYTHONPATH=.:/root/.axon_site python scripts/profile_forward.py [batch]
 """
 
 import sys
@@ -41,54 +50,40 @@ def main(batch=1024):
     require_tpu()
     from pose3d_tpu.models import NETWORKS, init_params, apply
     from pose3d_tpu.models import manifold as M
-    from pose3d_tpu.models.fastpath import apply_fast, s2d_conv_pool
 
     spec = NETWORKS["manifold_rgbd_16"]
     params = init_params(jax.random.key(0), spec)
     x = jax.random.uniform(jax.random.key(1), (batch, 64, 64, 4))
     print(f"device: {jax.devices()[0]}  batch {batch}", flush=True)
 
-    for label, fn in [("apply (canonical)", apply),
-                      ("apply_fast (s2d) ", apply_fast)]:
-        for dtype, dlabel in [(None, "f32/bf16-mxu"),
-                              (jnp.bfloat16, "bf16        ")]:
-            dt = timed(lambda p, v: fn(p, spec, v, compute_dtype=dtype),
-                       (params, x))
-            print(f"{label} {dlabel} {dt*1e3:7.3f} ms  "
-                  f"{batch/dt:,.0f} patches/s", flush=True)
+    for dtype, dlabel in [(None, "f32/bf16-mxu"),
+                          (jnp.bfloat16, "bf16        ")]:
+        dt = timed(lambda p, v: apply(p, spec, v, compute_dtype=dtype),
+                   (params, x))
+        print(f"apply {dlabel} {dt*1e3:7.3f} ms  "
+              f"{batch/dt:,.0f} patches/s", flush=True)
 
     # isolated conv stages
     c1 = lambda p, v: M._act(spec, p, "prelu1", M._ceil_maxpool2(
         M._conv(v, p["conv1"]["w"], p["conv1"]["b"])))
-    c1f = lambda p, v: M._act(spec, p, "prelu1", s2d_conv_pool(
-        v, p["conv1"]["w"], p["conv1"]["b"]))
     dt = timed(c1, (params, x))
-    print(f"conv1+pool canonical {dt*1e3:7.3f} ms", flush=True)
-    dt = timed(c1f, (params, x))
-    print(f"conv1+pool s2d       {dt*1e3:7.3f} ms", flush=True)
+    print(f"conv1+pool {dt*1e3:7.3f} ms", flush=True)
 
     x2 = jax.random.uniform(jax.random.key(2), (batch, 29, 29, 16))
     c2 = lambda p, v: M._ceil_maxpool2(M._conv(v, p["conv2"]["w"],
                                                p["conv2"]["b"]))
-    c2f = lambda p, v: s2d_conv_pool(v, p["conv2"]["w"], p["conv2"]["b"])
     dt = timed(c2, (params, x2))
-    print(f"conv2+pool canonical {dt*1e3:7.3f} ms", flush=True)
-    dt = timed(c2f, (params, x2))
-    print(f"conv2+pool s2d       {dt*1e3:7.3f} ms", flush=True)
+    print(f"conv2+pool {dt*1e3:7.3f} ms", flush=True)
 
-    # training step proxy: loss grad through both paths
+    # training step proxy: loss grad through the trunk
     from pose3d_tpu.models import losses
 
-    def grad_of(fwd):
-        def loss(p, v):
-            return losses.spec_loss(fwd(p, spec, v), spec.loss_slices)
-        g = jax.grad(loss)
-        return lambda p, v: g(p, v)["fc1"]["w"]
+    def loss(p, v):
+        return losses.spec_loss(apply(p, spec, v), spec.loss_slices)
+    g = jax.grad(loss)
     xb = jax.random.uniform(jax.random.key(3), (300, 64, 64, 4))
-    dt = timed(grad_of(apply), (params, xb))
-    print(f"grad canonical (300) {dt*1e3:7.3f} ms", flush=True)
-    dt = timed(grad_of(apply_fast), (params, xb))
-    print(f"grad s2d       (300) {dt*1e3:7.3f} ms", flush=True)
+    dt = timed(lambda p, v: g(p, v)["fc1"]["w"], (params, xb))
+    print(f"grad (300) {dt*1e3:7.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
