@@ -182,6 +182,14 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
     index (grid dim 0, modulo ``n_tiles`` so a flattened view axis rides
     for free); faces are this tile's culled chunk (grid dim 1).
 
+    Two-pass design: the kernel streams only the GEOMETRY rows (w0, w1, w2,
+    za) and z-buffers (depth, winning packed slot) — the color rows never
+    enter the kernel.  Attributes are evaluated once per *pixel* afterwards
+    (XLA epilogue in render_views_tiled_pallas) instead of once per
+    (pixel, face-chunk) here, which halves the per-chunk VPU epilogue
+    (no onehot-masked attribute selects) and cuts the dot + the packed
+    gather volume from 7 rows to 4.
+
     The packed face list is [g_cap global slots | per-tile segment];
     scalar-prefetch ``g_ref`` / ``seg_ref`` hold the REAL face counts of
     each section, so zero-padded chunks — the whole global section when the
@@ -189,7 +197,7 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
     entire silhouette-exterior tiles — are skipped, costing only
     init + emit."""
 
-    def kernel(g_ref, seg_ref, m_ref, depth_ref, color_ref, accd, accc):
+    def kernel(g_ref, seg_ref, m_ref, depth_ref, idx_ref, accd, acci):
         i = pl.program_id(0)
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -197,7 +205,7 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
         @pl.when(j == 0)
         def _init():
             accd[:] = jnp.full_like(accd, jnp.inf)
-            accc[:] = jnp.zeros_like(accc)
+            acci[:] = jnp.zeros_like(acci)
 
         start = j * face_chunk
         in_global = start < g_ref[i]
@@ -220,17 +228,14 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
             vals = jnp.dot(pix, m_ref[0],
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
-            fc = vals.shape[1] // 7
+            fc = vals.shape[1] // 4
             w0 = vals[:, 0 * fc:1 * fc]
             w1 = vals[:, 1 * fc:2 * fc]
             w2 = vals[:, 2 * fc:3 * fc]
             za = vals[:, 3 * fc:4 * fc]
-            cb = vals[:, 4 * fc:5 * fc]
-            cg = vals[:, 5 * fc:6 * fc]
-            cr = vals[:, 6 * fc:7 * fc]
             # the edge functions sum to the (constant) face area at every
             # pixel — the explicit area row was redundant, recomputing it
-            # here cuts the dot and the packed layout by 1/8
+            # here cuts the dot and the packed layout
             ar = w0 + w1 + w2
 
             s = jnp.sign(ar)
@@ -243,36 +248,35 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
             depth = jnp.where(ok, depth, jnp.inf)
 
             d = jnp.min(depth, axis=1)
-            arg = jnp.argmin(depth, axis=1)
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, depth.shape, 1)
-                      == arg[:, None])
-            zsel = jnp.sum(jnp.where(onehot, zden, 0.0), axis=1)
-            zsel = jnp.where(zsel != 0.0, zsel, 1.0)
-            csel = [jnp.sum(jnp.where(onehot, c, 0.0), axis=1) / zsel
-                    for c in (cb, cg, cr)]
+            arg = jnp.argmin(depth, axis=1).astype(jnp.int32)
 
             sub = tile * tile // 128
             d2 = d.reshape(sub, 128)
+            slot = (start + arg).reshape(sub, 128)
             prev = accd[:]
             better = d2 < prev
             accd[:] = jnp.where(better, d2, prev)
-            cstack = jnp.stack([c.reshape(sub, 128) for c in csel])
-            accc[:] = jnp.where(better[None], cstack, accc[:])
+            acci[:] = jnp.where(better, slot, acci[:])
 
         @pl.when(j == nj - 1)
         def _emit():
             final = accd[:]
             depth_ref[0] = jnp.where(jnp.isinf(final), 0.0, final)
-            color_ref[0] = accc[:]
+            idx_ref[0] = acci[:]
 
     return kernel
 
 
 def _prepare_view(vertices, faces, colors, pose, K, width, height,
                   x0, y0, tile, capacity, face_chunk, G):
-    """Project + bin + pack ONE pose -> (m_tiles [nt, 3, nch*7*fc],
-    g_counts [nt], seg_len [nt]).  vmap-able over poses (the batched sort
-    is the point: a lone 4F-element sort underutilizes the VPU lanes)."""
+    """Project + bin + pack ONE pose -> (m_tiles [nt, 3, nch*4*fc],
+    g_counts [nt], seg_len [nt], face_idx [nt, cap_tot],
+    attrs [Fp, 4, 3]).  vmap-able over poses (the batched sort is the
+    point: a lone 4F-element sort underutilizes the VPU lanes).
+
+    Only the 4 geometry rows (w0, w1, w2, za) are gathered into the
+    per-tile packed blocks; the attribute rows (za, cb, cg, cr) stay
+    face-indexed in ``attrs`` for the per-pixel XLA epilogue."""
     from pose3d_tpu.render.rasterizer_tiled import (_project_and_pack,
                                                     bin_faces_to_tiles)
     cx_shift = x0 + width * 0.5
@@ -304,26 +308,28 @@ def _prepare_view(vertices, faces, colors, pose, K, width, height,
     # gather + pack with the ATTRIBUTE axis leading: the resulting
     # transpose moves contiguous [face_chunk, 3] blocks (1.5 KB) instead of
     # 12-byte granules — the naive face-major pack was transpose-bound
-    M_am = jnp.transpose(M, (1, 0, 2))             # [7, F, 3]
-    Mt = M_am[:, face_idx] * face_ok[None, ..., None]  # [7, nt, cap_tot, 3]
-    Mt = Mt.reshape(7, n_tiles, n_chunks, face_chunk, 3)
-    m_tiles = jnp.transpose(Mt, (1, 2, 0, 3, 4))   # [nt, nch, 7, fc, 3]
+    M_am = jnp.transpose(M[:, :4], (1, 0, 2))      # [4, F, 3] geometry rows
+    Mt = M_am[:, face_idx] * face_ok[None, ..., None]  # [4, nt, cap_tot, 3]
+    Mt = Mt.reshape(4, n_tiles, n_chunks, face_chunk, 3)
+    m_tiles = jnp.transpose(Mt, (1, 2, 0, 3, 4))   # [nt, nch, 4, fc, 3]
     m_tiles = m_tiles.reshape(n_tiles, -1, 3)
-    m_tiles = jnp.transpose(m_tiles, (0, 2, 1))    # [nt, 3, nch*7*fc]
-    return m_tiles, jnp.broadcast_to(g_count, seg_len.shape), seg_len
+    m_tiles = jnp.transpose(m_tiles, (0, 2, 1))    # [nt, 3, nch*4*fc]
+    return (m_tiles, jnp.broadcast_to(g_count, seg_len.shape), seg_len,
+            face_idx, M[:, 3:7])
 
 
 def _run_tile_kernel(m_tiles, g_counts, seg_len, width, height, x0, y0,
                      tile, face_chunk, g_cap, interpret):
     """Launch the z-buffer kernel over flattened (view, tile) programs and
-    stitch per-view images.  m_tiles [VT, 3, nch*7*fc], g_counts/seg_len
-    [VT] (real face counts of the global/segment sections)."""
+    stitch per-view (depth, winning packed slot) images.  m_tiles
+    [VT, 3, nch*4*fc], g_counts/seg_len [VT] (real face counts of the
+    global/segment sections).  Returns (depth [V, h, w], slot [V, h, w])."""
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     n_tiles = tiles_x * tiles_y
     VT = m_tiles.shape[0]
     V = VT // n_tiles
-    n_chunks = m_tiles.shape[2] // (7 * face_chunk)
+    n_chunks = m_tiles.shape[2] // (4 * face_chunk)
     cx_shift = x0 + width * 0.5
     cy_shift = y0 + height * 0.5
 
@@ -335,39 +341,73 @@ def _run_tile_kernel(m_tiles, g_counts, seg_len, width, height, x0, y0,
         num_scalar_prefetch=2,
         grid=(VT, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 3, 7 * face_chunk), lambda i, j, *_: (i, 0, j),
+            pl.BlockSpec((1, 3, 4 * face_chunk), lambda i, j, *_: (i, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, sub, 128), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, sub, 128), lambda i, j, *_: (i, 0, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda i, j, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((sub, 128), jnp.float32),
-            pltpu.VMEM((3, sub, 128), jnp.float32),
+            pltpu.VMEM((sub, 128), jnp.int32),
         ],
     )
-    depth_t, color_t = pl.pallas_call(
+    depth_t, slot_t = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((VT, sub, 128), jnp.float32),
-            jax.ShapeDtypeStruct((VT, 3, sub, 128), jnp.float32),
+            jax.ShapeDtypeStruct((VT, sub, 128), jnp.int32),
         ],
         interpret=interpret,
     )(g_counts, seg_len, m_tiles)
 
     # stitch tiles back per view
-    depth = depth_t.reshape(V, tiles_y, tiles_x, tile, tile)
-    depth = depth.transpose(0, 1, 3, 2, 4).reshape(V, tiles_y * tile,
-                                                   tiles_x * tile)
-    color = color_t.transpose(0, 2, 3, 1).reshape(V, tiles_y, tiles_x,
-                                                  tile, tile, 3)
-    color = color.transpose(0, 1, 3, 2, 4, 5).reshape(V, tiles_y * tile,
-                                                      tiles_x * tile, 3)
-    return color[:, :height, :width], depth[:, :height, :width]
+    def stitch(t):
+        t = t.reshape(V, tiles_y, tiles_x, tile, tile)
+        return t.transpose(0, 1, 3, 2, 4).reshape(V, tiles_y * tile,
+                                                  tiles_x * tile)
+    depth = stitch(depth_t)
+    slot = stitch(slot_t)
+    return depth[:, :height, :width], slot[:, :height, :width]
+
+
+def _attribute_epilogue(depth, slot, face_idx, attrs, width, height,
+                        x0, y0, tile):
+    """Per-pixel attribute evaluation (pass 2 of the two-pass design).
+
+    depth/slot [V, h, w] from the kernel; face_idx [V, nt, cap_tot];
+    attrs [V, Fp, 4, 3] affine rows (za, cb, cg, cr).  Evaluates the
+    winning face's color rows at each covered pixel — O(pixels) work
+    instead of O(pixels x face-chunks) inside the kernel."""
+    V, h, w = depth.shape
+    tiles_x = (width + tile - 1) // tile
+    cap_tot = face_idx.shape[2]
+    cx_shift = x0 + width * 0.5
+    cy_shift = y0 + height * 0.5
+
+    xs = jnp.arange(w, dtype=jnp.int32)
+    ys = jnp.arange(h, dtype=jnp.int32)
+    tid = (ys[:, None] // tile) * tiles_x + xs[None, :] // tile  # [h, w]
+    lin = tid * cap_tot + slot                                   # [V, h, w]
+    face = jnp.take_along_axis(face_idx.reshape(V, -1),
+                               lin.reshape(V, -1), axis=1)       # [V, h*w]
+
+    a = jnp.take_along_axis(
+        attrs.reshape(V, -1, 12), face[..., None].repeat(12, -1),
+        axis=1).reshape(V, h, w, 4, 3)
+
+    qx = xs.astype(jnp.float32) + 0.5 + (x0 - cx_shift)
+    qy = ys.astype(jnp.float32) + 0.5 + (y0 - cy_shift)
+    vals = (a[..., 0] * qx[None, None, :, None]
+            + a[..., 1] * qy[None, :, None, None] + a[..., 2])   # [V,h,w,4]
+    zden = jnp.where(vals[..., 0] != 0.0, vals[..., 0], 1.0)
+    color = vals[..., 1:4] / zden[..., None]
+    covered = (depth > 0.0)[..., None]
+    return jnp.where(covered, color, 0.0)
 
 
 def _round_capacity(capacity, F, face_chunk):
@@ -424,12 +464,15 @@ def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     G = ((max(128, global_capacity or face_chunk) + face_chunk - 1)
          // face_chunk) * face_chunk
 
-    m_tiles, g_counts, seg_len = jax.vmap(
+    m_tiles, g_counts, seg_len, face_idx, attrs = jax.vmap(
         lambda p: _prepare_view(vertices, faces, colors, p, K, width,
                                 height, x0, y0, tile, cap, face_chunk, G)
     )(poses)
     VT = m_tiles.shape[0] * m_tiles.shape[1]
     m_tiles = m_tiles.reshape((VT,) + m_tiles.shape[2:])
-    return _run_tile_kernel(m_tiles, g_counts.reshape(VT),
-                            seg_len.reshape(VT), width, height, x0, y0,
-                            tile, face_chunk, G, interpret)
+    depth, slot = _run_tile_kernel(m_tiles, g_counts.reshape(VT),
+                                   seg_len.reshape(VT), width, height,
+                                   x0, y0, tile, face_chunk, G, interpret)
+    color = _attribute_epilogue(depth, slot, face_idx, attrs, width,
+                                height, x0, y0, tile)
+    return color, depth
