@@ -330,16 +330,21 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                 return _post(col, dep)
             return jax.lax.map(one, pose_chunk)
 
-    out = []
+    # ONE pose upload + ONE dispatch per mesh: the tunnel charges ~100 ms
+    # of latency per host->device transfer, so a host loop uploading 8
+    # poses at a time is dispatch-bound (373 round-trips for a subdiv-3
+    # set); lax.map runs the chunk loop on device instead
     V = len(poses)
-    for s in range(0, V, views_per_call):
-        chunk = poses[s:s + views_per_call]
-        pad = views_per_call - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, np.tile(chunk[-1:], (pad, 1, 1))])
-        res = render_chunk(jnp.asarray(chunk))
-        out.append(res[:views_per_call - pad])
-    full = jnp.concatenate(out)
+    pad = (-V) % views_per_call
+    padded = np.concatenate([poses, np.tile(poses[-1:], (pad, 1, 1))]) \
+        if pad else poses
+    chunks = jnp.asarray(padded).reshape(-1, views_per_call, 4, 4)
+
+    @jax.jit
+    def render_all(pose_chunks):
+        return jax.lax.map(render_chunk, pose_chunks)
+
+    full = render_all(chunks).reshape(-1, 64, 64, 7)[:V]
     # keep generated patches on device unless the caller needs host arrays
     # (through a slow tunnel the device->host fetch dominates generation)
     return full if not to_host else np.asarray(full)
