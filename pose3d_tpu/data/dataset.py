@@ -32,7 +32,7 @@ from __future__ import annotations
 import logging
 import os
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -243,28 +243,96 @@ def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
     return SampleSet(patches, poses_to_labels(class_idx, poses))
 
 
+def _pow2_at_least(n: int, floor: int) -> int:
+    return max(floor, 1 << (max(n, 1) - 1).bit_length())
+
+
+@lru_cache(maxsize=32)
+def _render_program(backend: str, textured: bool, sw: int, sh: int,
+                    x0: int, y0: int, tile: int, capacity: int,
+                    global_cap: int, fx: float, fy: float,
+                    views_per_call: int):
+    """Compile-once render -> normals -> patch program.
+
+    Mesh data (vertices / faces / colors / texture) enters as ARGUMENTS
+    with pow2-bucketed shapes, so every mesh sharing a bucket reuses one
+    compiled program — per-call closures rebuild the jit cache (and pay a
+    fresh XLA compile) for every object.  The whole multi-chunk view loop
+    runs on device under one dispatch: the tunnel charges ~100 ms latency
+    per transfer, so a host loop over 8-view chunks is dispatch-bound."""
+    from pose3d_tpu.render.rasterizer_tiled import render_view_tiled
+    from pose3d_tpu.render.rasterizer_pallas import \
+        render_views_tiled_pallas
+    from pose3d_tpu.render.texture import sample_texture_nearest
+
+    def _post(col, dep, texture, oxw, oyw, z):
+        if textured:
+            rgb = sample_texture_nearest(col[..., 0], col[..., 1], texture)
+            col = jnp.where((dep > 0.0)[..., None], rgb, 0.0)
+        nor = depth2normals(dep, fx, fy)
+        # window-local center coordinates
+        return sample_patch(col * 255.0, dep, nor, oxw, oyw, z,
+                            fx=fx, fy=fy)
+
+    # Pallas inner loop with empty-chunk skipping on TPU, batched over the
+    # view axis (one vmapped sort/bin/pack + one kernel grid per chunk);
+    # interpret mode is too slow for CPU runs, which take the XLA path
+    if backend == "tpu":
+        def render_chunk(verts, faces, colors, K, pose_chunk):
+            return render_views_tiled_pallas(
+                verts, faces, colors, pose_chunk, K, width=sw, height=sh,
+                x0=x0, y0=y0, tile=tile, capacity=capacity,
+                face_chunk=256, global_capacity=global_cap)
+    else:
+        def render_chunk(verts, faces, colors, K, pose_chunk):
+            def one(pose):
+                return render_view_tiled(verts, faces, colors, pose, K,
+                                         width=sw, height=sh, x0=x0, y0=y0,
+                                         tile=tile, capacity=capacity,
+                                         face_chunk=256,
+                                         global_capacity=global_cap)
+            col, dep = jax.lax.map(one, pose_chunk)
+            return col, dep
+
+    @jax.jit
+    def render_all(verts, faces, colors, K, pose_chunks, texture,
+                   oxw, oyw, z):
+        def chunk(pc):
+            cols, deps = render_chunk(verts, faces, colors, K, pc)
+            return jax.vmap(
+                lambda c, d: _post(c, d, texture, oxw, oyw, z))(cols, deps)
+        return jax.lax.map(chunk, pose_chunks)
+
+    return render_all
+
+
 def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                     sw: int, sh: int, x0: int, y0: int,
                     ox: float, oy: float, z: float,
                     views_per_call: int = 32,
                     to_host: bool = True) -> np.ndarray:
-    """Render -> normals -> patch for a pose batch, staying on device:
-    one jitted lax.map per chunk of views instead of a dispatch per view.
+    """Render -> normals -> patch for a pose batch, staying on device under
+    one dispatch per mesh (see _render_program).
 
     Uses the tile-culled rasterizer with the per-tile face capacity sized
-    from the true overlap of the first pose (x1.5 margin; rounded to the
-    chunk size) — ~12-17x over brute force at LineMOD mesh densities."""
+    from the true overlap of the first pose (x1.5 margin; pow2-rounded so
+    similar meshes share a compiled program)."""
     from pose3d_tpu.render.rasterizer_tiled import (max_tile_overlap,
-                                                    render_view_tiled)
+                                                    count_large_faces)
     fx, fy = float(cam[0, 0]), float(cam[1, 1])
-    # bucket the face count (pad with degenerate faces) so meshes of similar
-    # size share one compiled render program instead of recompiling per mesh
+    # bucket the face AND vertex counts (pad with degenerate geometry) so
+    # meshes of similar size share one compiled render program
     F = len(mesh.faces)
-    bucket = max(256, 1 << (F - 1).bit_length())
+    bucket = _pow2_at_least(F, 256)
     faces_np = np.concatenate(
         [mesh.faces, np.zeros((bucket - F, 3), np.int32)]) \
         if bucket > F else mesh.faces
-    verts = jnp.asarray(mesh.vertices)
+    Nv = len(mesh.vertices)
+    vbucket = _pow2_at_least(Nv, 128)
+    verts_np = np.concatenate(
+        [mesh.vertices, np.zeros((vbucket - Nv, 3), np.float32)]) \
+        if vbucket > Nv else mesh.vertices
+    verts = jnp.asarray(verts_np)
     faces = jnp.asarray(faces_np)
     # per-pixel texturing: interpolate (u, v) through the color rows and
     # gather texels in the epilogue (render/texture.py; the GL texturing of
@@ -272,79 +340,44 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     textured = mesh.texture is not None and mesh.tcoords is not None
     if textured:
         texture = jnp.asarray(mesh.texture)
-        colors = jnp.asarray(np.concatenate(
+        colors_np = np.concatenate(
             [mesh.tcoords,
-             np.zeros((len(mesh.tcoords), 1), np.float32)], axis=1))
+             np.zeros((len(mesh.tcoords), 1), np.float32)], axis=1)
     else:
-        colors = jnp.asarray(mesh.colors)
+        texture = jnp.zeros((1, 1, 3), jnp.float32)
+        colors_np = mesh.colors
+    if vbucket > Nv:
+        colors_np = np.concatenate(
+            [colors_np, np.zeros((vbucket - Nv, 3), np.float32)])
+    colors = jnp.asarray(colors_np)
     K = jnp.asarray(cam)
 
     tile = 32
     overlap = max_tile_overlap(mesh.vertices, mesh.faces, mesh.colors,
                                poses[0], cam, sw, sh, x0, y0, tile)
-    capacity = max(256, int(np.ceil(overlap * 1.5 / 256)) * 256)
+    capacity = _pow2_at_least(int(np.ceil(overlap * 1.5)), 256)
     # size the binning's shared >2x2-tile face section the same way
     # (coarse meshes near the camera can exceed the 256 default, which
     # would silently drop geometry)
-    from pose3d_tpu.render.rasterizer_tiled import count_large_faces
     n_large = count_large_faces(mesh.vertices, mesh.faces, mesh.colors,
                                 poses[0], cam, sw, sh, x0, y0, tile)
-    global_cap = max(256, int(np.ceil(n_large * 1.5 / 256)) * 256)
+    global_cap = _pow2_at_least(int(np.ceil(n_large * 1.5)), 256)
 
-    def _post(col, dep):
-        if textured:
-            from pose3d_tpu.render.texture import sample_texture_nearest
-            rgb = sample_texture_nearest(col[..., 0], col[..., 1], texture)
-            col = jnp.where((dep > 0.0)[..., None], rgb, 0.0)
-        nor = depth2normals(dep, fx, fy)
-        # window-local center coordinates
-        return sample_patch(col * 255.0, dep, nor,
-                            jnp.float32(ox - x0), jnp.float32(oy - y0),
-                            jnp.float32(z), fx=fx, fy=fy)
-
-    # Pallas inner loop with empty-chunk skipping on TPU, batched over the
-    # view axis (one vmapped sort/bin/pack + one kernel grid per chunk);
-    # interpret mode is too slow for CPU runs, which take the XLA path
-    if jax.default_backend() == "tpu":
-        from pose3d_tpu.render.rasterizer_pallas import \
-            render_views_tiled_pallas as _render
+    backend = jax.default_backend()
+    if backend == "tpu":
         views_per_call = 8     # packed face blocks are ~20 MB/view
+    program = _render_program(backend, textured, sw, sh, x0, y0, tile,
+                              capacity, global_cap, fx, fy, views_per_call)
 
-        @jax.jit
-        def render_chunk(pose_chunk):
-            cols, deps = _render(verts, faces, colors, pose_chunk, K,
-                                 width=sw, height=sh, x0=x0, y0=y0,
-                                 tile=tile, capacity=capacity,
-                                 face_chunk=256, global_capacity=global_cap)
-            return jax.vmap(_post)(cols, deps)
-    else:
-        @jax.jit
-        def render_chunk(pose_chunk):
-            def one(pose):
-                col, dep = render_view_tiled(verts, faces, colors, pose, K,
-                                             width=sw, height=sh, x0=x0,
-                                             y0=y0, tile=tile,
-                                             capacity=capacity,
-                                             face_chunk=256,
-                                             global_capacity=global_cap)
-                return _post(col, dep)
-            return jax.lax.map(one, pose_chunk)
-
-    # ONE pose upload + ONE dispatch per mesh: the tunnel charges ~100 ms
-    # of latency per host->device transfer, so a host loop uploading 8
-    # poses at a time is dispatch-bound (373 round-trips for a subdiv-3
-    # set); lax.map runs the chunk loop on device instead
     V = len(poses)
     pad = (-V) % views_per_call
     padded = np.concatenate([poses, np.tile(poses[-1:], (pad, 1, 1))]) \
         if pad else poses
     chunks = jnp.asarray(padded).reshape(-1, views_per_call, 4, 4)
-
-    @jax.jit
-    def render_all(pose_chunks):
-        return jax.lax.map(render_chunk, pose_chunks)
-
-    full = render_all(chunks).reshape(-1, 64, 64, 7)[:V]
+    full = program(verts, faces, colors, K, chunks, texture,
+                   jnp.float32(ox - x0), jnp.float32(oy - y0),
+                   jnp.float32(z))
+    full = full.reshape(-1, 64, 64, 7)[:V]
     # keep generated patches on device unless the caller needs host arrays
     # (through a slow tunnel the device->host fetch dominates generation)
     return full if not to_host else np.asarray(full)
