@@ -309,7 +309,7 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
 def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                     sw: int, sh: int, x0: int, y0: int,
                     ox: float, oy: float, z: float,
-                    views_per_call: int = 32,
+                    views_per_call: int | None = None,
                     to_host: bool = True) -> np.ndarray:
     """Render -> normals -> patch for a pose batch, staying on device under
     one dispatch per mesh (see _render_program).
@@ -364,8 +364,10 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     global_cap = _pow2_at_least(int(np.ceil(n_large * 1.5)), 256)
 
     backend = jax.default_backend()
-    if backend == "tpu":
-        views_per_call = 8     # packed face blocks are ~20 MB/view
+    if views_per_call is None:
+        # packed face blocks are ~11 MB/view at LineMOD density (bounds the
+        # per-chunk VMEM/HBM working set); CPU prefers bigger host chunks
+        views_per_call = 8 if backend == "tpu" else 32
     program = _render_program(backend, textured, sw, sh, x0, y0, tile,
                               capacity, global_cap, fx, fy, views_per_call)
 
