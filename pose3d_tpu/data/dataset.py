@@ -250,8 +250,7 @@ def _pow2_at_least(n: int, floor: int) -> int:
 @lru_cache(maxsize=32)
 def _render_program(backend: str, textured: bool, sw: int, sh: int,
                     x0: int, y0: int, tile: int, capacity: int,
-                    global_cap: int, fx: float, fy: float,
-                    views_per_call: int):
+                    global_cap: int, fx: float, fy: float):
     """Compile-once render -> normals -> patch program.
 
     Mesh data (vertices / faces / colors / texture) enters as ARGUMENTS
@@ -369,7 +368,7 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
         # per-chunk VMEM/HBM working set); CPU prefers bigger host chunks
         views_per_call = 8 if backend == "tpu" else 32
     program = _render_program(backend, textured, sw, sh, x0, y0, tile,
-                              capacity, global_cap, fx, fy, views_per_call)
+                              capacity, global_cap, fx, fy)
 
     V = len(poses)
     pad = (-V) % views_per_call

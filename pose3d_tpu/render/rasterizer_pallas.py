@@ -455,7 +455,8 @@ def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     The per-view prepare (projection, counting-sort binning, gather/pack)
     is vmapped — one batched sort/gather for all V views — and the kernel
     runs one grid over the flattened (view, tile) axis.  Keep V modest
-    (~8): the packed face blocks are ~20 MB per view at LineMOD scale.
+    (~8): the packed face blocks are ~11 MB per view at LineMOD scale
+    (4 geometry rows x capacity x tiles).
     ``global_capacity`` bounds the >2x2-tile face section (size it with
     rasterizer_tiled.count_large_faces; zero-cost when no such faces
     exist thanks to the section-aware chunk skipping).
