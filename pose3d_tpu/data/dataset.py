@@ -352,15 +352,18 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     K = jnp.asarray(cam)
 
     tile = 32
+    # capacity rounds to 512-multiples: coarse enough to bound compiled
+    # program variants, fine enough not to inflate the per-tile gather
+    # (pow2 rounding would double it for mid-density meshes, e.g 2304->4096)
     overlap = max_tile_overlap(mesh.vertices, mesh.faces, mesh.colors,
                                poses[0], cam, sw, sh, x0, y0, tile)
-    capacity = _pow2_at_least(int(np.ceil(overlap * 1.5)), 256)
+    capacity = max(256, -(-int(np.ceil(overlap * 1.5)) // 512) * 512)
     # size the binning's shared >2x2-tile face section the same way
     # (coarse meshes near the camera can exceed the 256 default, which
     # would silently drop geometry)
     n_large = count_large_faces(mesh.vertices, mesh.faces, mesh.colors,
                                 poses[0], cam, sw, sh, x0, y0, tile)
-    global_cap = _pow2_at_least(int(np.ceil(n_large * 1.5)), 256)
+    global_cap = max(256, -(-int(np.ceil(n_large * 1.5)) // 512) * 512)
 
     backend = jax.default_backend()
     if views_per_call is None:
