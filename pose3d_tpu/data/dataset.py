@@ -354,15 +354,21 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     tile = 32
     # capacity rounds to 512-multiples: coarse enough to bound compiled
     # program variants, fine enough not to inflate the per-tile gather
-    # (pow2 rounding would double it for mid-density meshes, e.g 2304->4096)
-    overlap = max_tile_overlap(mesh.vertices, mesh.faces, mesh.colors,
-                               poses[0], cam, sw, sh, x0, y0, tile)
+    # (pow2 rounding would double it for mid-density meshes, e.g 2304->4096).
+    # Size from a SPREAD of poses, not just poses[0]: per-tile overlap
+    # varies with in-plane rotation, and overflowing capacity drops faces
+    # silently (rasterizer_tiled.bin_faces_to_tiles overflow policy)
+    probe = poses[:: max(1, len(poses) // 8)][:8]
+    overlap = max(max_tile_overlap(mesh.vertices, mesh.faces, mesh.colors,
+                                   p, cam, sw, sh, x0, y0, tile)
+                  for p in probe)
     capacity = max(256, -(-int(np.ceil(overlap * 1.5)) // 512) * 512)
     # size the binning's shared >2x2-tile face section the same way
     # (coarse meshes near the camera can exceed the 256 default, which
     # would silently drop geometry)
-    n_large = count_large_faces(mesh.vertices, mesh.faces, mesh.colors,
-                                poses[0], cam, sw, sh, x0, y0, tile)
+    n_large = max(count_large_faces(mesh.vertices, mesh.faces, mesh.colors,
+                                    p, cam, sw, sh, x0, y0, tile)
+                  for p in probe)
     global_cap = max(256, -(-int(np.ceil(n_large * 1.5)) // 512) * 512)
 
     backend = jax.default_backend()
