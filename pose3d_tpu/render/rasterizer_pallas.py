@@ -478,3 +478,62 @@ def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     color = _attribute_epilogue(depth, slot, face_idx, attrs, width,
                                 height, x0, y0, tile)
     return color, depth
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
+                                   "face_chunk", "interpret",
+                                   "global_capacity"))
+def _render_views_offsets(vertices, faces, colors, poses, K, x0s, y0s,
+                          width, height, tile, capacity, face_chunk,
+                          global_capacity, interpret):
+    """Batched Pallas rendering with TRACED per-view window origins.
+
+    The kernel and epilogue only ever see window-centered coordinates
+    (x0 - cx_shift == -width/2, a constant), so per-view origins cost
+    nothing there; the origin enters solely through the projection shift
+    inside _prepare_view, which traces fine.  One compiled program renders
+    every off-center window of a given static size."""
+    F = faces.shape[0]
+    cap = _round_capacity(capacity, F, face_chunk)
+    G = ((max(128, global_capacity or face_chunk) + face_chunk - 1)
+         // face_chunk) * face_chunk
+
+    m_tiles, g_counts, seg_len, face_idx, attrs = jax.vmap(
+        lambda p, xx, yy: _prepare_view(vertices, faces, colors, p, K,
+                                        width, height, xx, yy, tile, cap,
+                                        face_chunk, G)
+    )(poses, x0s, y0s)
+    VT = m_tiles.shape[0] * m_tiles.shape[1]
+    m_tiles = m_tiles.reshape((VT,) + m_tiles.shape[2:])
+    depth, slot = _run_tile_kernel(m_tiles, g_counts.reshape(VT),
+                                   seg_len.reshape(VT), width, height,
+                                   0, 0, tile, face_chunk, G, interpret)
+    color = _attribute_epilogue(depth, slot, face_idx, attrs, width,
+                                height, 0, 0, tile)
+    return color, depth
+
+
+def render_views_clipped_pallas(vertices, faces, colors, poses, K, corners,
+                                img_w: int = 640, img_h: int = 480,
+                                tile: int = 32, capacity: int = 1024,
+                                face_chunk: int = 128,
+                                global_capacity: int | None = None,
+                                interpret: bool = False):
+    """Per-view bbox-clipped rendering on the Pallas fast path —
+    renderView(clipped=true) (reference src/sphere.cpp:37-67) over a pose
+    batch.  Same contract as rasterizer_tiled.render_views_clipped:
+    returns (color [V, h, w, 3], depth [V, h, w], x0s [V], y0s [V]) with
+    a static window SIZE (max projected AABB extent over the poses) and
+    traced per-view origins."""
+    import numpy as np
+    from pose3d_tpu.render.windows import clipped_windows
+    x0s, y0s, w, h = clipped_windows(np.asarray(poses), np.asarray(K),
+                                     np.asarray(corners), img_w, img_h,
+                                     multiple=tile)
+    color, depth = _render_views_offsets(
+        vertices, faces, colors, jnp.asarray(poses), K,
+        jnp.asarray(x0s, jnp.float32), jnp.asarray(y0s, jnp.float32),
+        width=w, height=h, tile=tile, capacity=capacity,
+        face_chunk=face_chunk, global_capacity=global_capacity,
+        interpret=interpret)
+    return color, depth, x0s, y0s

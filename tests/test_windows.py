@@ -91,3 +91,29 @@ def test_offcenter_clipped_render_equals_fullframe_crop():
             np.asarray(colf)[y0:y0 + h, x0:x0 + w], atol=1e-5)
         # the object is actually in the window (non-trivial crop)
         assert (np.asarray(depth[i]) > 0).sum() > 50
+
+
+def test_clipped_pallas_path_matches_xla_clipped():
+    """The Pallas fast path with traced per-view origins
+    (render_views_clipped_pallas) must reproduce the XLA clipped path."""
+    from pose3d_tpu.render.rasterizer_pallas import \
+        render_views_clipped_pallas
+    mesh = make_test_mesh("tetra", 0.12)
+    poses = np.stack([_offcenter_pose(0.09, -0.06, 0.45, 30),
+                      _offcenter_pose(-0.07, 0.05, 0.5, 100)])
+    args = (jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+            jnp.asarray(mesh.colors))
+    colx, depx, x0x, y0x = render_views_clipped(
+        *args, jnp.asarray(poses), jnp.asarray(K), mesh.bounding_box,
+        img_w=W, img_h=H, tile=32, capacity=16, face_chunk=8)
+    colp, depp, x0p, y0p = render_views_clipped_pallas(
+        *args, jnp.asarray(poses), jnp.asarray(K), mesh.bounding_box,
+        img_w=W, img_h=H, tile=32, capacity=16, face_chunk=8,
+        interpret=True)
+    np.testing.assert_array_equal(x0x, x0p)
+    np.testing.assert_array_equal(y0x, y0p)
+    np.testing.assert_allclose(np.asarray(depp), np.asarray(depx),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(colp), np.asarray(colx),
+                               atol=1e-5)
+    assert (np.asarray(depp) > 0).sum() > 100
