@@ -176,28 +176,22 @@ def render_view_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
 
 # ----------------------------------------------------------- tiled + Pallas
 
-def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
-                      face_chunk: int, n_tiles: int, g_cap: int):
-    """Kernel for the culled path: pixel coordinates derived from the tile
-    index (grid dim 0, modulo ``n_tiles`` so a flattened view axis rides
-    for free); faces are this tile's culled chunk (grid dim 1).
+def _make_pair_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
+                      face_chunk: int, n_tiles: int, npc: int, gch: int):
+    """Pair-segment kernel: grid (view*tile, j); block j reads chunk
+    ``lo[i]//fc + j - gch`` of the view's SHARED sorted-pair block list
+    (global-section blocks for j < gch), via a scalar-prefetch index_map —
+    no per-tile capacity-padded gather exists.  Chunk-boundary bleed-in
+    (faces of the neighboring tile's segment) is harmless: their screen
+    bboxes do not overlap this tile, so they can never cover a pixel.
 
-    Two-pass design: the kernel streams only the GEOMETRY rows (w0, w1, w2,
-    za) and z-buffers (depth, winning packed slot) — the color rows never
-    enter the kernel.  Attributes are evaluated once per *pixel* afterwards
-    (XLA epilogue in render_views_tiled_pallas) instead of once per
-    (pixel, face-chunk) here, which halves the per-chunk VPU epilogue
-    (no onehot-masked attribute selects) and cuts the dot + the packed
-    gather volume from 7 rows to 4.
+    Outputs (depth, winning slot) where slot indexes the view's extended
+    pair-face table (sorted pairs then global slots), each block
+    contributing ``block_local_base + argmin``."""
+    fc = face_chunk
 
-    The packed face list is [g_cap global slots | per-tile segment];
-    scalar-prefetch ``g_ref`` / ``seg_ref`` hold the REAL face counts of
-    each section, so zero-padded chunks — the whole global section when the
-    mesh has no >2x2-tile faces (the common case), the segment tail, and
-    entire silhouette-exterior tiles — are skipped, costing only
-    init + emit."""
-
-    def kernel(g_ref, seg_ref, m_ref, depth_ref, idx_ref, accd, acci):
+    def kernel(lo_ref, hi_ref, gc_ref, m_ref, depth_ref, idx_ref,
+               accd, acci):
         i = pl.program_id(0)
         j = pl.program_id(1)
         nj = pl.num_programs(1)
@@ -207,13 +201,15 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
             accd[:] = jnp.full_like(accd, jnp.inf)
             acci[:] = jnp.zeros_like(acci)
 
-        start = j * face_chunk
-        in_global = start < g_ref[i]
-        in_seg = (start >= g_cap) & (start - g_cap < seg_ref[i])
+        base = lo_ref[i] // fc
+        bj = jnp.clip(base + j - gch, 0, npc - 1)
+        in_global = (j < gch) & (j * fc < gc_ref[i])
+        in_seg = ((j >= gch) & (bj * fc < hi_ref[i]) &
+                  (bj * fc + fc > lo_ref[i]))
 
         @pl.when(in_global | in_seg)
         def _work():
-            im = jax.lax.rem(i, n_tiles)           # tile within the view
+            im = jax.lax.rem(i, n_tiles)
             ty = (im // tiles_x).astype(jnp.float32)
             tx = (im % tiles_x).astype(jnp.float32)
             p = jax.lax.broadcasted_iota(jnp.int32, (tile * tile, 1),
@@ -222,20 +218,13 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
             qy = ty * tile + (p // tile).astype(jnp.float32) + 0.5 + y0f
             pix = jnp.stack([qx, qy, jnp.ones_like(qx)], axis=1)
 
-            # full f32 (HIGHEST): a 3x-bf16 split-dot variant measured only
-            # ~1% faster while adding ~7e-5 seam-pixel fuzz — the kernel is
-            # epilogue-bound, so exact arithmetic is free in practice
             vals = jnp.dot(pix, m_ref[0],
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
-            fc = vals.shape[1] // 4
             w0 = vals[:, 0 * fc:1 * fc]
             w1 = vals[:, 1 * fc:2 * fc]
             w2 = vals[:, 2 * fc:3 * fc]
             za = vals[:, 3 * fc:4 * fc]
-            # the edge functions sum to the (constant) face area at every
-            # pixel — the explicit area row was redundant, recomputing it
-            # here cuts the dot and the packed layout
             ar = w0 + w1 + w2
 
             s = jnp.sign(ar)
@@ -252,7 +241,8 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
 
             sub = tile * tile // 128
             d2 = d.reshape(sub, 128)
-            slot = (start + arg).reshape(sub, 128)
+            block_base = jnp.where(j < gch, (npc + j) * fc, bj * fc)
+            slot = (block_base + arg).reshape(sub, 128)
             prev = accd[:]
             better = d2 < prev
             accd[:] = jnp.where(better, d2, prev)
@@ -267,81 +257,109 @@ def _make_tile_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
     return kernel
 
 
-def _prepare_view(vertices, faces, colors, pose, K, width, height,
-                  x0, y0, tile, capacity, face_chunk, G):
-    """Project + bin + pack ONE pose -> (m_tiles [nt, 3, nch*4*fc],
-    g_counts [nt], seg_len [nt], face_idx [nt, cap_tot],
-    attrs [Fp, 4, 3]).  vmap-able over poses (the batched sort is the
-    point: a lone 4F-element sort underutilizes the VPU lanes).
 
-    Only the 4 geometry rows (w0, w1, w2, za) are gathered into the
-    per-tile packed blocks; the attribute rows (za, cb, cg, cr) stay
-    face-indexed in ``attrs`` for the per-pixel XLA epilogue."""
+
+
+
+def _pair_attribute_epilogue(depth, slot, pair_faces, attrs, width, height):
+    """Per-pixel attribute evaluation for the pair-segment kernel: slot
+    indexes the view's extended pair-face table directly (no per-tile
+    arithmetic).  depth/slot [V, h, w]; pair_faces [V, S]; attrs
+    [V, F, 4, 3] affine rows (za, cb, cg, cr)."""
+    V, h, w = depth.shape
+    face = jax.vmap(lambda pf, s: pf[s])(
+        pair_faces, slot.reshape(V, -1))                         # [V, h*w]
+    a = jax.vmap(lambda at, f: at[f])(
+        attrs.reshape(V, -1, 12), face).reshape(V, h, w, 4, 3)
+
+    xs = jnp.arange(w, dtype=jnp.float32) + 0.5 - width * 0.5
+    ys = jnp.arange(h, dtype=jnp.float32) + 0.5 - height * 0.5
+    vals = (a[..., 0] * xs[None, None, :, None]
+            + a[..., 1] * ys[None, :, None, None] + a[..., 2])   # [V,h,w,4]
+    zden = jnp.where(vals[..., 0] != 0.0, vals[..., 0], 1.0)
+    color = vals[..., 1:4] / zden[..., None]
+    covered = (depth > 0.0)[..., None]
+    return jnp.where(covered, color, 0.0)
+
+
+def _round_capacity(capacity, F, face_chunk):
+    return min(((capacity + face_chunk - 1) // face_chunk) * face_chunk,
+               ((F + face_chunk - 1) // face_chunk) * face_chunk)
+
+
+def _prepare_view_pairs(vertices, faces, colors, pose, K, width, height,
+                        x0, y0, tile, face_chunk, G, npc):
+    """Project + pair-bin + pack ONE pose for the pair-segment kernel.
+
+    Returns (blocks [npc+gch, 3, 4*fc] — sorted-pair chunks then global
+    chunks in kernel layout, lo/hi [nt] segment pair ranges, g_count [nt],
+    pair_faces [ (npc+gch)*fc ] slot->face table, attrs [F, 4, 3])."""
     from pose3d_tpu.render.rasterizer_tiled import (_project_and_pack,
-                                                    bin_faces_to_tiles)
+                                                    bin_pairs)
+    fc = face_chunk
     cx_shift = x0 + width * 0.5
     cy_shift = y0 + height * 0.5
     M, area, valid, bb_min, bb_max = _project_and_pack(
         vertices, faces, colors, pose, K, cx_shift, cy_shift)
-    # no explicit area row: the kernel recomputes area = w0 + w1 + w2
-    # (edge functions sum to the constant face area); invalid faces never
-    # reach the kernel — the binning drops them
-
     F = M.shape[0]
-    padF = (-F) % capacity if F < capacity else (-F) % face_chunk
-    if padF:
-        M = jnp.pad(M, ((0, padF), (0, 0), (0, 0)))
-        bb_min = jnp.pad(bb_min, ((0, padF), (0, 0)), constant_values=1e9)
-        bb_max = jnp.pad(bb_max, ((0, padF), (0, 0)), constant_values=-1e9)
-        valid = jnp.pad(valid, (0, padF))
-
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
-    n_tiles = tiles_x * tiles_y
 
-    face_idx, face_ok, seg_len, g_count = bin_faces_to_tiles(
+    sorted_faces, starts, g_faces, g_count = bin_pairs(
         bb_min, bb_max, valid, tiles_x, tiles_y, tile,
-        x0 - cx_shift, y0 - cy_shift, capacity, G)
+        x0 - cx_shift, y0 - cy_shift, G)
 
-    cap_total = G + capacity
-    n_chunks = cap_total // face_chunk
-    # gather + pack with the ATTRIBUTE axis leading: the resulting
-    # transpose moves contiguous [face_chunk, 3] blocks (1.5 KB) instead of
-    # 12-byte granules — the naive face-major pack was transpose-bound
-    M_am = jnp.transpose(M[:, :4], (1, 0, 2))      # [4, F, 3] geometry rows
-    Mt = M_am[:, face_idx] * face_ok[None, ..., None]  # [4, nt, cap_tot, 3]
-    Mt = Mt.reshape(4, n_tiles, n_chunks, face_chunk, 3)
-    m_tiles = jnp.transpose(Mt, (1, 2, 0, 3, 4))   # [nt, nch, 4, fc, 3]
-    m_tiles = m_tiles.reshape(n_tiles, -1, 3)
-    m_tiles = jnp.transpose(m_tiles, (0, 2, 1))    # [nt, 3, nch*4*fc]
-    return (m_tiles, jnp.broadcast_to(g_count, seg_len.shape), seg_len,
-            face_idx, M[:, 3:7])
+    gch = G // fc
+    P = npc * fc
+    pad = P - sorted_faces.shape[0]
+    sf = jnp.pad(sorted_faces, (0, pad))       # pad with face 0: inert
+    # (duplicate or non-overlapping rows never change the z-buffer winner)
+    M_am = jnp.transpose(M[:, :4], (1, 0, 2))  # [4, F, 3] geometry rows
+    Mp = M_am[:, sf]                           # [4, P, 3]
+    # global rows: mask empty slots to zero so a partially-filled last
+    # global chunk cannot rasterize anything
+    gmask = (jnp.arange(G) < g_count)[None, :, None]
+    Mg = M_am[:, g_faces] * gmask              # [4, G, 3]
+    X = jnp.concatenate([Mp, Mg], axis=1)      # [4, P+G, 3]
+    NB = npc + gch
+    X = X.reshape(4, NB, fc, 3).transpose(1, 0, 2, 3)   # [NB, 4, fc, 3]
+    blocks = X.reshape(NB, 4 * fc, 3).transpose(0, 2, 1)  # [NB, 3, 4fc]
+
+    pair_faces = jnp.concatenate([sf, g_faces])          # [(npc+gch)*fc]
+    lo = starts[:-1]
+    hi = starts[1:]
+    gcnt = jnp.broadcast_to(g_count, lo.shape)
+    return blocks, lo, hi, gcnt, pair_faces, M[:, 3:7]
 
 
-def _run_tile_kernel(m_tiles, g_counts, seg_len, width, height, x0, y0,
-                     tile, face_chunk, g_cap, interpret):
-    """Launch the z-buffer kernel over flattened (view, tile) programs and
-    stitch per-view (depth, winning packed slot) images.  m_tiles
-    [VT, 3, nch*4*fc], g_counts/seg_len [VT] (real face counts of the
-    global/segment sections).  Returns (depth [V, h, w], slot [V, h, w])."""
+def _run_pair_kernel(blocks, lo, hi, gcnt, width, height, tile,
+                     face_chunk, npc, gch, jseg, interpret):
+    """Launch the pair-segment kernel over flattened (view, tile) programs.
+    blocks [V*NB, 3, 4fc]; lo/hi/gcnt [VT].  Returns per-view stitched
+    (depth [V, h, w], slot [V, h, w])."""
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     n_tiles = tiles_x * tiles_y
-    VT = m_tiles.shape[0]
+    VT = lo.shape[0]
     V = VT // n_tiles
-    n_chunks = m_tiles.shape[2] // (4 * face_chunk)
-    cx_shift = x0 + width * 0.5
-    cy_shift = y0 + height * 0.5
-
+    NB = npc + gch
+    fc = face_chunk
     sub = tile * tile // 128
-    kernel = _make_tile_kernel(tiles_x, tile,
-                               float(x0) - cx_shift, float(y0) - cy_shift,
-                               face_chunk, n_tiles, g_cap)
+
+    kernel = _make_pair_kernel(tiles_x, tile, -width * 0.5, -height * 0.5,
+                               fc, n_tiles, npc, gch)
+
+    def m_index(i, j, lo_ref, hi_ref, gc_ref):
+        view = i // n_tiles
+        base = lo_ref[i] // fc
+        bj = jnp.clip(base + j - gch, 0, npc - 1)
+        return (view * NB + jnp.where(j < gch, npc + j, bj), 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(VT, n_chunks),
+        num_scalar_prefetch=3,
+        grid=(VT, gch + jseg),
         in_specs=[
-            pl.BlockSpec((1, 3, 4 * face_chunk), lambda i, j, *_: (i, 0, j),
+            pl.BlockSpec((1, 3, 4 * fc), m_index,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -363,57 +381,14 @@ def _run_tile_kernel(m_tiles, g_counts, seg_len, width, height, x0, y0,
             jax.ShapeDtypeStruct((VT, sub, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(g_counts, seg_len, m_tiles)
+    )(lo, hi, gcnt, blocks)
 
-    # stitch tiles back per view
     def stitch(t):
         t = t.reshape(V, tiles_y, tiles_x, tile, tile)
         return t.transpose(0, 1, 3, 2, 4).reshape(V, tiles_y * tile,
                                                   tiles_x * tile)
-    depth = stitch(depth_t)
-    slot = stitch(slot_t)
-    return depth[:, :height, :width], slot[:, :height, :width]
-
-
-def _attribute_epilogue(depth, slot, face_idx, attrs, width, height,
-                        x0, y0, tile):
-    """Per-pixel attribute evaluation (pass 2 of the two-pass design).
-
-    depth/slot [V, h, w] from the kernel; face_idx [V, nt, cap_tot];
-    attrs [V, Fp, 4, 3] affine rows (za, cb, cg, cr).  Evaluates the
-    winning face's color rows at each covered pixel — O(pixels) work
-    instead of O(pixels x face-chunks) inside the kernel."""
-    V, h, w = depth.shape
-    tiles_x = (width + tile - 1) // tile
-    cap_tot = face_idx.shape[2]
-    cx_shift = x0 + width * 0.5
-    cy_shift = y0 + height * 0.5
-
-    xs = jnp.arange(w, dtype=jnp.int32)
-    ys = jnp.arange(h, dtype=jnp.int32)
-    tid = (ys[:, None] // tile) * tiles_x + xs[None, :] // tile  # [h, w]
-    lin = tid * cap_tot + slot                                   # [V, h, w]
-    # row-granular gathers (vmapped advanced indexing -> gather with a
-    # 12-float slice): take_along_axis with a repeated component index
-    # lowers to element-granular gathers, ~100x slower on TPU
-    face = jax.vmap(lambda fi, l: fi[l])(
-        face_idx.reshape(V, -1), lin.reshape(V, -1))             # [V, h*w]
-    a = jax.vmap(lambda at, f: at[f])(
-        attrs.reshape(V, -1, 12), face).reshape(V, h, w, 4, 3)
-
-    qx = xs.astype(jnp.float32) + 0.5 + (x0 - cx_shift)
-    qy = ys.astype(jnp.float32) + 0.5 + (y0 - cy_shift)
-    vals = (a[..., 0] * qx[None, None, :, None]
-            + a[..., 1] * qy[None, :, None, None] + a[..., 2])   # [V,h,w,4]
-    zden = jnp.where(vals[..., 0] != 0.0, vals[..., 0], 1.0)
-    color = vals[..., 1:4] / zden[..., None]
-    covered = (depth > 0.0)[..., None]
-    return jnp.where(covered, color, 0.0)
-
-
-def _round_capacity(capacity, F, face_chunk):
-    return min(((capacity + face_chunk - 1) // face_chunk) * face_chunk,
-               ((F + face_chunk - 1) // face_chunk) * face_chunk)
+    return (stitch(depth_t)[:, :height, :width],
+            stitch(slot_t)[:, :height, :width])
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
@@ -461,55 +436,48 @@ def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     rasterizer_tiled.count_large_faces; zero-cost when no such faces
     exist thanks to the section-aware chunk skipping).
     """
-    F = faces.shape[0]
-    cap = _round_capacity(capacity, F, face_chunk)
-    G = ((max(128, global_capacity or face_chunk) + face_chunk - 1)
-         // face_chunk) * face_chunk
-
-    m_tiles, g_counts, seg_len, face_idx, attrs = jax.vmap(
-        lambda p: _prepare_view(vertices, faces, colors, p, K, width,
-                                height, x0, y0, tile, cap, face_chunk, G)
-    )(poses)
-    VT = m_tiles.shape[0] * m_tiles.shape[1]
-    m_tiles = m_tiles.reshape((VT,) + m_tiles.shape[2:])
-    depth, slot = _run_tile_kernel(m_tiles, g_counts.reshape(VT),
-                                   seg_len.reshape(VT), width, height,
-                                   x0, y0, tile, face_chunk, G, interpret)
-    color = _attribute_epilogue(depth, slot, face_idx, attrs, width,
-                                height, x0, y0, tile)
-    return color, depth
+    return _render_views_pairs(vertices, faces, colors, poses, K,
+                               jnp.full(poses.shape[:1], float(x0)),
+                               jnp.full(poses.shape[:1], float(y0)),
+                               width, height, tile, capacity, face_chunk,
+                               global_capacity, interpret)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
                                    "face_chunk", "interpret",
                                    "global_capacity"))
-def _render_views_offsets(vertices, faces, colors, poses, K, x0s, y0s,
-                          width, height, tile, capacity, face_chunk,
-                          global_capacity, interpret):
-    """Batched Pallas rendering with TRACED per-view window origins.
+def _render_views_pairs(vertices, faces, colors, poses, K, x0s, y0s,
+                        width, height, tile, capacity, face_chunk,
+                        global_capacity, interpret):
+    """Batched pair-segment Pallas rendering (traced per-view origins).
 
     The kernel and epilogue only ever see window-centered coordinates
     (x0 - cx_shift == -width/2, a constant), so per-view origins cost
     nothing there; the origin enters solely through the projection shift
-    inside _prepare_view, which traces fine.  One compiled program renders
-    every off-center window of a given static size."""
+    inside the prepare, which traces fine.  One compiled program renders
+    every (possibly off-center) window of a given static size."""
     F = faces.shape[0]
-    cap = _round_capacity(capacity, F, face_chunk)
-    G = ((max(128, global_capacity or face_chunk) + face_chunk - 1)
-         // face_chunk) * face_chunk
+    fc = face_chunk
+    cap = _round_capacity(capacity, F, fc)
+    G = ((max(128, global_capacity or fc) + fc - 1) // fc) * fc
+    npc = (4 * F + fc - 1) // fc
+    gch = G // fc
+    # +1 chunk: segments are read chunk-ALIGNED, so a capacity-sized
+    # segment can straddle one extra chunk boundary
+    jseg = min(npc, cap // fc + 1)
 
-    m_tiles, g_counts, seg_len, face_idx, attrs = jax.vmap(
-        lambda p, xx, yy: _prepare_view(vertices, faces, colors, p, K,
-                                        width, height, xx, yy, tile, cap,
-                                        face_chunk, G)
+    blocks, lo, hi, gcnt, pair_faces, attrs = jax.vmap(
+        lambda p, xx, yy: _prepare_view_pairs(vertices, faces, colors, p,
+                                              K, width, height, xx, yy,
+                                              tile, fc, G, npc)
     )(poses, x0s, y0s)
-    VT = m_tiles.shape[0] * m_tiles.shape[1]
-    m_tiles = m_tiles.reshape((VT,) + m_tiles.shape[2:])
-    depth, slot = _run_tile_kernel(m_tiles, g_counts.reshape(VT),
-                                   seg_len.reshape(VT), width, height,
-                                   0, 0, tile, face_chunk, G, interpret)
-    color = _attribute_epilogue(depth, slot, face_idx, attrs, width,
-                                height, 0, 0, tile)
+    V, NB = blocks.shape[:2]
+    blocks = blocks.reshape((V * NB,) + blocks.shape[2:])
+    depth, slot = _run_pair_kernel(blocks, lo.reshape(-1), hi.reshape(-1),
+                                   gcnt.reshape(-1), width, height, tile,
+                                   fc, npc, gch, jseg, interpret)
+    color = _pair_attribute_epilogue(depth, slot, pair_faces, attrs,
+                                     width, height)
     return color, depth
 
 
@@ -530,7 +498,7 @@ def render_views_clipped_pallas(vertices, faces, colors, poses, K, corners,
     x0s, y0s, w, h = clipped_windows(np.asarray(poses), np.asarray(K),
                                      np.asarray(corners), img_w, img_h,
                                      multiple=tile)
-    color, depth = _render_views_offsets(
+    color, depth = _render_views_pairs(
         vertices, faces, colors, jnp.asarray(poses), K,
         jnp.asarray(x0s, jnp.float32), jnp.asarray(y0s, jnp.float32),
         width=w, height=h, tile=tile, capacity=capacity,
