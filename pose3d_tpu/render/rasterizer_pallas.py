@@ -204,8 +204,11 @@ def _make_pair_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
         base = lo_ref[i] // fc
         bj = jnp.clip(base + j - gch, 0, npc - 1)
         in_global = (j < gch) & (j * fc < gc_ref[i])
-        in_seg = ((j >= gch) & (bj * fc < hi_ref[i]) &
-                  (bj * fc + fc > lo_ref[i]))
+        # the lo < hi guard keeps silhouette-exterior tiles at init+emit
+        # cost: with lo == hi and an unaligned lo, the chunk-overlap test
+        # alone would grind one full (foreign) chunk per empty tile
+        in_seg = ((j >= gch) & (lo_ref[i] < hi_ref[i]) &
+                  (bj * fc < hi_ref[i]) & (bj * fc + fc > lo_ref[i]))
 
         @pl.when(in_global | in_seg)
         def _work():
@@ -313,8 +316,13 @@ def _prepare_view_pairs(vertices, faces, colors, pose, K, width, height,
     P = npc * fc
     pad = P - sorted_faces.shape[0]
     sf = jnp.pad(sorted_faces, (0, pad))       # pad with face 0: inert
-    # (duplicate or non-overlapping rows never change the z-buffer winner)
-    M_am = jnp.transpose(M[:, :4], (1, 0, 2))  # [4, F, 3] geometry rows
+    # (duplicate or non-overlapping VALID rows never change the z-buffer
+    # winner — but INVALID faces, e.g. near-plane crossers with finite
+    # bogus rows, live decoded in the sentinel/pad region and would
+    # rasterize garbage if a chunk-aligned read straddles it, so zero
+    # their rows at the source)
+    M_am = (jnp.transpose(M[:, :4], (1, 0, 2))
+            * valid[None, :, None])            # [4, F, 3] geometry rows
     Mp = M_am[:, sf]                           # [4, P, 3]
     # global rows: mask empty slots to zero so a partially-filled last
     # global chunk cannot rasterize anything
@@ -403,7 +411,7 @@ def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
                              interpret: bool = False):
     """Tile-culled rasterization with the Pallas inner loop.
 
-    XLA does the face->tile binning (counting sort, rasterizer_tiled.py);
+    XLA does the pair-sort face->tile binning (rasterizer_tiled.bin_pairs);
     the z-buffer loop runs in VMEM with persistent accumulators.  Same
     contract/outputs as render_view.
     """
@@ -427,12 +435,16 @@ def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
     """Batched tile-culled Pallas rendering: poses [V, 4, 4] ->
     (color [V, h, w, 3], depth [V, h, w]).
 
-    The per-view prepare (projection, counting-sort binning, gather/pack)
-    is vmapped — one batched sort/gather for all V views — and the kernel
-    runs one grid over the flattened (view, tile) axis.  Keep V modest
-    (~8): the packed face blocks are ~11 MB per view at LineMOD scale
-    (4 geometry rows x capacity x tiles).
-    ``global_capacity`` bounds the >2x2-tile face section (size it with
+    The per-view prepare (projection, pair-sort binning, one gather in
+    sorted pair order) is vmapped — one batched sort/gather for all V
+    views — and the kernel runs one grid over the flattened (view, tile)
+    axis, each tile reading its SEGMENT of the view's shared sorted-pair
+    block list via a scalar-prefetch index_map (no per-tile
+    capacity-padded table exists; blocks are [4*F pairs + global] x 4
+    geometry rows ≈ 3.9 MB/view at 20k faces, independent of tile count).
+    ``capacity`` bounds only the per-tile chunk GRID (overflowing tails
+    are dropped, as in the XLA path); ``global_capacity`` bounds the
+    >2x2-tile face section (size it with
     rasterizer_tiled.count_large_faces; zero-cost when no such faces
     exist thanks to the section-aware chunk skipping).
     """

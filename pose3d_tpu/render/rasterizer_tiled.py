@@ -82,69 +82,20 @@ def bin_faces_to_tiles(bb_min: jnp.ndarray, bb_max: jnp.ndarray,
     """
     F = bb_min.shape[0]
     n_tiles = tiles_x * tiles_y
-    inv_t = 1.0 / tile
+    G = global_capacity
+    sorted_faces, starts, g_faces, g_count = bin_pairs(
+        bb_min, bb_max, valid, tiles_x, tiles_y, tile,
+        origin_x, origin_y, G)
 
-    txl = jnp.floor((bb_min[:, 0] - origin_x) * inv_t).astype(jnp.int32)
-    txh = jnp.floor((bb_max[:, 0] - origin_x) * inv_t).astype(jnp.int32)
-    tyl = jnp.floor((bb_min[:, 1] - origin_y) * inv_t).astype(jnp.int32)
-    tyh = jnp.floor((bb_max[:, 1] - origin_y) * inv_t).astype(jnp.int32)
-
-    empty = (~valid | (txh < 0) | (tyh < 0) |
-             (txl > tiles_x - 1) | (tyl > tiles_y - 1))
-    cxl = jnp.clip(txl, 0, tiles_x - 1)
-    cxh = jnp.clip(txh, 0, tiles_x - 1)
-    cyl = jnp.clip(tyl, 0, tiles_y - 1)
-    cyh = jnp.clip(tyh, 0, tiles_y - 1)
-
-    small = ~empty & (cxh - cxl <= 1) & (cyh - cyl <= 1)
-    large = ~empty & ~small
-
-    # candidate pairs [F, 4] in (lo,lo),(hi,lo),(lo,hi),(hi,hi) slots;
-    # duplicate/invalid slots get the sentinel tile id n_tiles
-    sent = jnp.int32(n_tiles)
-    t00 = cyl * tiles_x + cxl
-    t10 = cyl * tiles_x + cxh
-    t01 = cyh * tiles_x + cxl
-    t11 = cyh * tiles_x + cxh
-    pair_tile = jnp.stack([
-        jnp.where(small, t00, sent),
-        jnp.where(small & (cxh > cxl), t10, sent),
-        jnp.where(small & (cyh > cyl), t01, sent),
-        jnp.where(small & (cxh > cxl) & (cyh > cyl), t11, sent),
-    ], axis=1).reshape(-1)                          # [4F], face-major
-    # fused sort key: tile in the high bits, pair index in the low bits —
-    # ONE single-tensor sort gives the stable (tile, original-face-order)
-    # ordering at about half the cost of an (argsort) key/value sort
-    pair_bits = max(1, (4 * F - 1).bit_length())
-    if (n_tiles + 1) << pair_bits < 2**31:
-        key = (pair_tile << pair_bits) | jnp.arange(4 * F, dtype=jnp.int32)
-        skey = jnp.sort(key)
-        sorted_tiles = skey >> pair_bits
-        sorted_faces = (skey & ((1 << pair_bits) - 1)) >> 2  # pair -> face
-    else:  # giant mesh x giant window: keys do not fit 31 bits
-        order = jnp.argsort(pair_tile, stable=True)
-        sorted_tiles = pair_tile[order]
-        sorted_faces = order >> 2                            # pair -> face
-
-    starts = jnp.searchsorted(sorted_tiles,
-                              jnp.arange(n_tiles + 1, dtype=jnp.int32))
     seg_len = jnp.minimum(starts[1:] - starts[:-1], capacity)
     gidx = jnp.clip(starts[:-1, None] + jnp.arange(capacity)[None],
                     0, 4 * F - 1)
     seg_faces = sorted_faces[gidx]                 # [n_tiles, capacity]
     seg_ok = jnp.arange(capacity)[None, :] < seg_len[:, None]
-
-    # global section: faces spanning > 2x2 tiles, shared by every tile
-    G = global_capacity
-    gscore, gfaces = jax.lax.top_k(large.astype(jnp.int32), min(G, F))
-    if G > F:
-        gscore = jnp.pad(gscore, (0, G - F))
-        gfaces = jnp.pad(gfaces, (0, G - F))
-    g_ok = gscore > 0
-    g_count = jnp.minimum(jnp.sum(large.astype(jnp.int32)), G)
+    g_ok = jnp.arange(G) < g_count
 
     face_idx = jnp.concatenate(
-        [jnp.broadcast_to(gfaces[None], (n_tiles, G)),
+        [jnp.broadcast_to(g_faces[None], (n_tiles, G)),
          seg_faces], axis=1).astype(jnp.int32)
     face_ok = jnp.concatenate(
         [jnp.broadcast_to(g_ok[None], (n_tiles, G)), seg_ok], axis=1)

@@ -4,7 +4,8 @@ import jax.numpy as jnp
 
 from pose3d_tpu.render import make_test_mesh
 from pose3d_tpu.render.rasterizer import render_view
-from pose3d_tpu.render.rasterizer_pallas import render_view_pallas
+from pose3d_tpu.render.rasterizer_pallas import (render_view_pallas,
+                                                 render_view_tiled_pallas)
 
 K = jnp.asarray([[100.0, 0.0, 32.0], [0.0, 100.0, 32.0], [0.0, 0.0, 1.0]])
 
@@ -104,3 +105,34 @@ def test_bin_counts_sections():
     # global slots precede the segment and carry the large face
     assert np.asarray(fo)[:, 0].all()
     assert (np.asarray(fi)[:, 0] == 1).all()
+
+
+def test_invalid_near_plane_face_never_rasterizes():
+    """A face with a vertex at camera z <= NEAR is invalid and must not
+    render — its pairs land in the sentinel region of the sorted pair
+    list, and an unmasked chunk-aligned read there once rasterized its
+    bogus rows (regression: the pair path must zero invalid faces' rows
+    at the source, like face_ok did for the padded-table path)."""
+    verts = jnp.asarray([[0.0, 0.0, 0.45], [0.05, 0.0, 0.45],
+                         [0.0, 0.05, 0.45],
+                         # triangle crossing the near plane whose clamped
+                         # projection covers the window center
+                         [-0.02, -0.02, 0.0005], [0.1, 0.0, 0.3],
+                         [0.0, 0.1, 0.3]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    colors = jnp.ones((6, 3), jnp.float32)
+    K = jnp.asarray([[150.0, 0.0, 32.0], [0.0, 150.0, 32.0],
+                     [0.0, 0.0, 1.0]], jnp.float32)
+    T = jnp.eye(4)
+
+    from pose3d_tpu.render.rasterizer import render_view
+    colb, depb = render_view(verts, faces, colors, T, K, 64, 64)
+    colp, depp = render_view_tiled_pallas(verts, faces, colors, T, K,
+                                          width=64, height=64, tile=32,
+                                          capacity=8, face_chunk=8,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(depp), np.asarray(depb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(colp), np.asarray(colb),
+                               atol=1e-5)
+    assert (np.asarray(depp) > 0).sum() > 0          # valid face renders
