@@ -258,7 +258,19 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
     compiled program — per-call closures rebuild the jit cache (and pay a
     fresh XLA compile) for every object.  The whole multi-chunk view loop
     runs on device under one dispatch: the tunnel charges ~100 ms latency
-    per transfer, so a host loop over 8-view chunks is dispatch-bound."""
+    per transfer, so a host loop over 8-view chunks is dispatch-bound.
+
+    Returns (patches [C, Vc, 64, 64, 7], overflow bool scalar) where
+    overflow reports any dropped geometry (tile-capacity or global-section
+    overflow) across all chunks — callers re-render at a bigger capacity.
+    """
+    # executed only on an lru_cache MISS — this is the compile event; a
+    # datasets with per-object cameras/windows would otherwise silently
+    # defeat the memoization with no signal
+    log.debug("render program compile: backend=%s textured=%s window=%dx%d"
+              "+%d+%d tile=%d capacity=%d global=%d fx=%.2f fy=%.2f",
+              backend, textured, sw, sh, x0, y0, tile, capacity,
+              global_cap, fx, fy)
     from pose3d_tpu.render.rasterizer_tiled import render_view_tiled
     from pose3d_tpu.render.rasterizer_pallas import \
         render_views_tiled_pallas
@@ -281,7 +293,8 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
             return render_views_tiled_pallas(
                 verts, faces, colors, pose_chunk, K, width=sw, height=sh,
                 x0=x0, y0=y0, tile=tile, capacity=capacity,
-                face_chunk=256, global_capacity=global_cap)
+                face_chunk=256, global_capacity=global_cap,
+                return_overflow=True)
     else:
         def render_chunk(verts, faces, colors, K, pose_chunk):
             def one(pose):
@@ -289,18 +302,21 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
                                          width=sw, height=sh, x0=x0, y0=y0,
                                          tile=tile, capacity=capacity,
                                          face_chunk=256,
-                                         global_capacity=global_cap)
-            col, dep = jax.lax.map(one, pose_chunk)
-            return col, dep
+                                         global_capacity=global_cap,
+                                         return_overflow=True)
+            col, dep, ovf = jax.lax.map(one, pose_chunk)
+            return col, dep, jnp.any(ovf)
 
     @jax.jit
     def render_all(verts, faces, colors, K, pose_chunks, texture,
                    oxw, oyw, z):
         def chunk(pc):
-            cols, deps = render_chunk(verts, faces, colors, K, pc)
+            cols, deps, ovf = render_chunk(verts, faces, colors, K, pc)
             return jax.vmap(
-                lambda c, d: _post(c, d, texture, oxw, oyw, z))(cols, deps)
-        return jax.lax.map(chunk, pose_chunks)
+                lambda c, d: _post(c, d, texture, oxw, oyw, z))(cols,
+                                                                deps), ovf
+        patches, ovfs = jax.lax.map(chunk, pose_chunks)
+        return patches, jnp.any(ovfs)
 
     return render_all
 
@@ -314,10 +330,11 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     one dispatch per mesh (see _render_program).
 
     Uses the tile-culled rasterizer with the per-tile face capacity sized
-    from the true overlap of the first pose (x1.5 margin; pow2-rounded so
-    similar meshes share a compiled program)."""
-    from pose3d_tpu.render.rasterizer_tiled import (max_tile_overlap,
-                                                    count_large_faces)
+    by ONE batched device probe over a spread of 8 poses (x1.5 margin;
+    rounded so similar meshes share a compiled program); the render
+    program reports capacity overflow, on which the render retries at
+    doubled capacity instead of silently dropping geometry."""
+    from pose3d_tpu.render.rasterizer_tiled import probe_capacity
     fx, fy = float(cam[0, 0]), float(cam[1, 1])
     # bucket the face AND vertex counts (pad with degenerate geometry) so
     # meshes of similar size share one compiled render program
@@ -356,37 +373,51 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     # program variants, fine enough not to inflate the per-tile gather
     # (pow2 rounding would double it for mid-density meshes, e.g 2304->4096).
     # Size from a SPREAD of poses, not just poses[0]: per-tile overlap
-    # varies with in-plane rotation, and overflowing capacity drops faces
-    # silently (rasterizer_tiled.bin_faces_to_tiles overflow policy)
-    probe = poses[:: max(1, len(poses) // 8)][:8]
-    overlap = max(max_tile_overlap(mesh.vertices, mesh.faces, mesh.colors,
-                                   p, cam, sw, sh, x0, y0, tile)
-                  for p in probe)
-    capacity = max(256, -(-int(np.ceil(overlap * 1.5)) // 512) * 512)
+    # varies with in-plane rotation.  The probe is ONE jitted dispatch +
+    # one two-scalar fetch — per-pose host loops here cost 16 host-synced
+    # round trips per mesh, seconds each through a tunneled device.
+    pr = poses[:: max(1, len(poses) // 8)][:8]
+    if len(pr) < 8:
+        pr = np.concatenate([pr, np.tile(pr[-1:], (8 - len(pr), 1, 1))])
+    mo, nl = jax.device_get(probe_capacity(
+        verts, faces, jnp.asarray(np.asarray(pr, np.float32)), K,
+        width=sw, height=sh, x0=x0, y0=y0, tile=tile))
+    capacity = max(256, -(-int(np.ceil(int(mo) * 1.5)) // 512) * 512)
     # size the binning's shared >2x2-tile face section the same way
-    # (coarse meshes near the camera can exceed the 256 default, which
-    # would silently drop geometry)
-    n_large = max(count_large_faces(mesh.vertices, mesh.faces, mesh.colors,
-                                    p, cam, sw, sh, x0, y0, tile)
-                  for p in probe)
-    global_cap = max(256, -(-int(np.ceil(n_large * 1.5)) // 512) * 512)
+    # (coarse meshes near the camera can exceed the 256 default)
+    global_cap = max(256, -(-int(np.ceil(int(nl) * 1.5)) // 512) * 512)
 
     backend = jax.default_backend()
     if views_per_call is None:
         # packed face blocks are ~11 MB/view at LineMOD density (bounds the
         # per-chunk VMEM/HBM working set); CPU prefers bigger host chunks
         views_per_call = 8 if backend == "tpu" else 32
-    program = _render_program(backend, textured, sw, sh, x0, y0, tile,
-                              capacity, global_cap, fx, fy)
 
     V = len(poses)
     pad = (-V) % views_per_call
     padded = np.concatenate([poses, np.tile(poses[-1:], (pad, 1, 1))]) \
         if pad else poses
     chunks = jnp.asarray(padded).reshape(-1, views_per_call, 4, 4)
-    full = program(verts, faces, colors, K, chunks, texture,
-                   jnp.float32(ox - x0), jnp.float32(oy - y0),
-                   jnp.float32(z))
+    # a pose outside the probe spread can still exceed the sized capacity;
+    # the render reports dropped geometry and we re-render bigger instead
+    # of silently training on patches with holes
+    for attempt in range(3):
+        program = _render_program(backend, textured, sw, sh, x0, y0, tile,
+                                  capacity, global_cap, fx, fy)
+        full, overflow = program(verts, faces, colors, K, chunks, texture,
+                                 jnp.float32(ox - x0), jnp.float32(oy - y0),
+                                 jnp.float32(z))
+        if not bool(overflow):
+            break
+        log.warning("render capacity overflow (capacity=%d global=%d); "
+                    "re-rendering at 2x", capacity, global_cap)
+        capacity *= 2
+        global_cap *= 2
+    else:
+        raise RuntimeError(
+            "tile-capacity overflow persists after retries — geometry "
+            "would be dropped (capacity %d, global %d)" %
+            (capacity, global_cap))
     full = full.reshape(-1, 64, 64, 7)[:V]
     # keep generated patches on device unless the caller needs host arrays
     # (through a slow tunnel the device->host fetch dominates generation)

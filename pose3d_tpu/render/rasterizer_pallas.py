@@ -424,14 +424,15 @@ def render_view_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
                                    "face_chunk", "interpret", "x0", "y0",
-                                   "global_capacity"))
+                                   "global_capacity", "return_overflow"))
 def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
                               colors: jnp.ndarray, poses: jnp.ndarray,
                               K: jnp.ndarray, width: int, height: int,
                               x0: int = 0, y0: int = 0, tile: int = 32,
                               capacity: int = 1024, face_chunk: int = 128,
                               global_capacity: int | None = None,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              return_overflow: bool = False):
     """Batched tile-culled Pallas rendering: poses [V, 4, 4] ->
     (color [V, h, w, 3], depth [V, h, w]).
 
@@ -452,15 +453,16 @@ def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
                                jnp.full(poses.shape[:1], float(x0)),
                                jnp.full(poses.shape[:1], float(y0)),
                                width, height, tile, capacity, face_chunk,
-                               global_capacity, interpret)
+                               global_capacity, interpret, return_overflow)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
                                    "face_chunk", "interpret",
-                                   "global_capacity"))
+                                   "global_capacity", "return_overflow"))
 def _render_views_pairs(vertices, faces, colors, poses, K, x0s, y0s,
                         width, height, tile, capacity, face_chunk,
-                        global_capacity, interpret):
+                        global_capacity, interpret,
+                        return_overflow: bool = False):
     """Batched pair-segment Pallas rendering (traced per-view origins).
 
     The kernel and epilogue only ever see window-centered coordinates
@@ -490,6 +492,12 @@ def _render_views_pairs(vertices, faces, colors, poses, K, x0s, y0s,
                                    fc, npc, gch, jseg, interpret)
     color = _pair_attribute_epilogue(depth, slot, pair_faces, attrs,
                                      width, height)
+    if return_overflow:
+        # geometry dropped iff a tile's pair segment exceeds the chunk
+        # budget the kernel walks (jseg chunks cover >= cap faces from the
+        # aligned base) or the >2x2-tile population exceeds G
+        overflow = (jnp.max(hi - lo) > cap) | (jnp.max(gcnt) > G)
+        return color, depth, overflow
     return color, depth
 
 

@@ -40,6 +40,12 @@ def _project_and_pack(vertices, faces, colors, pose, K, cx_shift, cy_shift):
     zc = z[faces]
     col = colors[faces]
     M, valid = _face_matrix(p, zc, col)
+    # point-degenerate faces (all three indices equal) are bucket padding
+    # (dataset._render_patches pads face arrays with [0, 0, 0]); excluding
+    # them here keeps them out of the binning so they neither occupy
+    # capacity slots nor trip the overflow detector
+    valid = valid & ~((faces[:, 0] == faces[:, 1]) &
+                      (faces[:, 1] == faces[:, 2]))
     area = jnp.sum(M[:, 0:3, 0] * p[:, 0:1, 0] +
                    M[:, 0:3, 1] * p[:, 0:1, 1] + M[:, 0:3, 2], axis=1)
     bb_min = jnp.min(p, axis=1)            # [F, 2]
@@ -78,7 +84,10 @@ def bin_faces_to_tiles(bb_min: jnp.ndarray, bb_max: jnp.ndarray,
              the per-tile segment,
              face_ok  [n_tiles, G+capacity] bool,
              seg_len  [n_tiles] int32 — real faces in the segment section,
-             g_count  scalar int32 — real faces in the global section).
+             g_count  scalar int32 — real faces in the global section,
+             overflow scalar bool — True when any tile's face count exceeds
+             ``capacity`` or the large-face population exceeds
+             ``global_capacity``, i.e. geometry was dropped).
     """
     F = bb_min.shape[0]
     n_tiles = tiles_x * tiles_y
@@ -87,7 +96,9 @@ def bin_faces_to_tiles(bb_min: jnp.ndarray, bb_max: jnp.ndarray,
         bb_min, bb_max, valid, tiles_x, tiles_y, tile,
         origin_x, origin_y, G)
 
-    seg_len = jnp.minimum(starts[1:] - starts[:-1], capacity)
+    raw_len = starts[1:] - starts[:-1]
+    overflow = (jnp.max(raw_len) > capacity) | (g_count > G)
+    seg_len = jnp.minimum(raw_len, capacity)
     gidx = jnp.clip(starts[:-1, None] + jnp.arange(capacity)[None],
                     0, 4 * F - 1)
     seg_faces = sorted_faces[gidx]                 # [n_tiles, capacity]
@@ -99,7 +110,7 @@ def bin_faces_to_tiles(bb_min: jnp.ndarray, bb_max: jnp.ndarray,
          seg_faces], axis=1).astype(jnp.int32)
     face_ok = jnp.concatenate(
         [jnp.broadcast_to(g_ok[None], (n_tiles, G)), seg_ok], axis=1)
-    return face_idx, face_ok, seg_len.astype(jnp.int32), g_count
+    return face_idx, face_ok, seg_len.astype(jnp.int32), g_count, overflow
 
 
 def bin_pairs(bb_min: jnp.ndarray, bb_max: jnp.ndarray,
@@ -166,23 +177,33 @@ def bin_pairs(bb_min: jnp.ndarray, bb_max: jnp.ndarray,
     if G > F:
         gscore = jnp.pad(gscore, (0, G - F))
         g_faces = jnp.pad(g_faces, (0, G - F))
-    g_count = jnp.minimum(jnp.sum(large.astype(jnp.int32)), G)
+    # UNCLIPPED total so callers can detect global-section overflow
+    # (consumers mask slots with ``arange(G) < g_count``, which saturates
+    # at G by construction, so the unclipped value is safe everywhere)
+    g_count = jnp.sum(large.astype(jnp.int32))
     # zero the ids of empty global slots so gathered rows are inert
     g_faces = jnp.where(gscore > 0, g_faces, 0).astype(jnp.int32)
     return sorted_faces.astype(jnp.int32), starts, g_faces, g_count
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
-                                   "face_chunk", "global_capacity"))
+                                   "face_chunk", "global_capacity",
+                                   "return_overflow"))
 def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
                       colors: jnp.ndarray, pose: jnp.ndarray,
                       K: jnp.ndarray, width: int, height: int,
                       x0: int = 0, y0: int = 0, tile: int = 64,
                       capacity: int = 1024,
                       face_chunk: int = 256,
-                      global_capacity: int | None = None
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Tile-culled render; same contract as rasterizer.render_view."""
+                      global_capacity: int | None = None,
+                      return_overflow: bool = False
+                      ) -> Tuple[jnp.ndarray, ...]:
+    """Tile-culled render; same contract as rasterizer.render_view.
+
+    ``return_overflow=True`` appends a scalar bool that is True when the
+    binning dropped geometry (per-tile capacity or global-section
+    overflow) — callers resize and re-render instead of silently
+    producing holes."""
     cx_shift = x0 + width * 0.5
     cy_shift = y0 + height * 0.5
     M, area, valid, bb_min, bb_max = _project_and_pack(
@@ -215,7 +236,7 @@ def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
     # count_large_faces when a mesh/pose can exceed the default)
     G = ((max(128, global_capacity or face_chunk) + face_chunk - 1)
          // face_chunk) * face_chunk
-    face_idx, face_ok, _, _ = bin_faces_to_tiles(
+    face_idx, face_ok, _, _, overflow = bin_faces_to_tiles(
         bb_min, bb_max, valid, tiles_x, tiles_y, tile,
         x0 - cx_shift, y0 - cy_shift, capacity, G)
 
@@ -248,6 +269,8 @@ def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
     color = color.transpose(0, 2, 1, 3, 4).reshape(tiles_y * tile,
                                                    tiles_x * tile, 3)
     depth = jnp.where(jnp.isinf(depth), 0.0, depth)[:height, :width]
+    if return_overflow:
+        return color[:height, :width], depth, overflow
     return color[:height, :width], depth
 
 
@@ -303,6 +326,79 @@ def count_large_faces(vertices, faces, colors, pose, K, width, height,
     tyh = np.clip(np.floor((bb_max[:, 1] - (y0 - cy_shift)) / tile), 0,
                   tiles_y - 1)
     return int(np.sum(ok & ((txh - txl > 1) | (tyh - tyl > 1))))
+
+
+@partial(jax.jit, static_argnames=("width", "height", "x0", "y0", "tile"))
+def probe_capacity(vertices: jnp.ndarray, faces: jnp.ndarray,
+                   poses: jnp.ndarray, K: jnp.ndarray, width: int,
+                   height: int, x0: int = 0, y0: int = 0, tile: int = 32):
+    """Batched capacity probe: ONE device program computing, over a pose
+    spread [P, 4, 4], the worst-case per-tile face overlap and the
+    worst-case count of >2x2-tile ("large") faces.
+
+    Replaces per-pose host loops (``max_tile_overlap``/``count_large_faces``
+    called 8+8 times per mesh), which cost one host-synced round trip each —
+    seconds of latency per call through a tunneled device.  Returns two
+    int32 scalars (fetch them together with one ``jax.device_get``).
+
+    Semantics match the host utilities exactly: overlap test
+    ``bb_max >= lo && bb_min < lo + tile`` per axis; ``large`` is the
+    population of the binning's shared global section (``bin_pairs``).
+    Bucket-padding point-degenerate faces are excluded, as in
+    ``_project_and_pack``.
+    """
+    cx_shift = x0 + width * 0.5
+    cy_shift = y0 + height * 0.5
+    origin_x = x0 - cx_shift
+    origin_y = y0 - cy_shift
+    tiles_x = (width + tile - 1) // tile
+    tiles_y = (height + tile - 1) // tile
+    fx, fy = K[0, 0], K[1, 1]
+    ox, oy = K[0, 2], K[1, 2]
+    inv_t = 1.0 / tile
+    degenerate = ((faces[:, 0] == faces[:, 1]) &
+                  (faces[:, 1] == faces[:, 2]))
+
+    def one(pose):
+        vc = jnp.matmul(vertices, pose[:3, :3].T,
+                        precision="highest") + pose[:3, 3]
+        z = vc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-12, 1e-12, z)
+        sx = fx * vc[:, 0] / zs + ox - cx_shift
+        sy = fy * vc[:, 1] / zs + oy - cy_shift
+        p = jnp.stack([sx, sy], axis=1)[faces]
+        valid = jnp.all(z[faces] > NEAR, axis=1) & ~degenerate
+        bb_min = jnp.min(p, axis=1)
+        bb_max = jnp.max(p, axis=1)
+
+        txl = jnp.floor((bb_min[:, 0] - origin_x) * inv_t).astype(jnp.int32)
+        txh = jnp.floor((bb_max[:, 0] - origin_x) * inv_t).astype(jnp.int32)
+        tyl = jnp.floor((bb_min[:, 1] - origin_y) * inv_t).astype(jnp.int32)
+        tyh = jnp.floor((bb_max[:, 1] - origin_y) * inv_t).astype(jnp.int32)
+        empty = (~valid | (txh < 0) | (tyh < 0) |
+                 (txl > tiles_x - 1) | (tyl > tiles_y - 1))
+        cxl = jnp.clip(txl, 0, tiles_x - 1)
+        cxh = jnp.clip(txh, 0, tiles_x - 1)
+        cyl = jnp.clip(tyl, 0, tiles_y - 1)
+        cyh = jnp.clip(tyh, 0, tiles_y - 1)
+        w = jnp.where(empty, 0, 1)
+
+        # per-tile overlap counts via a 2-D difference grid + prefix sums:
+        # O(F) scatter instead of O(F * n_tiles) tests
+        gw, gh = tiles_x + 1, tiles_y + 1
+        grid = jnp.zeros((gh * gw,), jnp.int32)
+        grid = (grid.at[cyl * gw + cxl].add(w)
+                    .at[cyl * gw + cxh + 1].add(-w)
+                    .at[(cyh + 1) * gw + cxl].add(-w)
+                    .at[(cyh + 1) * gw + cxh + 1].add(w))
+        counts = jnp.cumsum(jnp.cumsum(grid.reshape(gh, gw), axis=0),
+                            axis=1)[:tiles_y, :tiles_x]
+        small = ~empty & (cxh - cxl <= 1) & (cyh - cyl <= 1)
+        n_large = jnp.sum((~empty & ~small).astype(jnp.int32))
+        return jnp.max(counts), n_large
+
+    mo, nl = jax.vmap(one)(poses)
+    return jnp.max(mo), jnp.max(nl)
 
 
 def render_views_tiled(vertices, faces, colors, poses, K, width, height,

@@ -86,7 +86,7 @@ def main():
         verts, faces, colors, jnp.asarray(pose), K, cx_shift, cy_shift)
 
     def bin_fn(bmin):
-        fi, fo, seg, gc = bin_faces_to_tiles(bmin, bb_max, valid, tiles_x,
+        fi, fo, seg, gc, _ = bin_faces_to_tiles(bmin, bb_max, valid, tiles_x,
                                              tiles_y, tile, x0 - cx_shift,
                                              y0 - cy_shift, capacity, 128)
         return jnp.sum(fi) + jnp.sum(seg) + gc
@@ -98,7 +98,7 @@ def main():
     arow = jnp.concatenate([jnp.zeros((len(area0), 1, 2)),
                             area0[:, None, None]], axis=2)
     M8 = jnp.concatenate([M, arow], axis=1)
-    fi, fo, _, _ = bin_faces_to_tiles(bb_min, bb_max, valid, tiles_x,
+    fi, fo, _, _, _ = bin_faces_to_tiles(bb_min, bb_max, valid, tiles_x,
                                       tiles_y, tile, x0 - cx_shift,
                                       y0 - cy_shift, capacity, 128)
 

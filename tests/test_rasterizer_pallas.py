@@ -96,7 +96,7 @@ def test_bin_counts_sections():
     bb_min = jnp.asarray([[1.0, 1.0], [0.0, 0.0], [40.0, 8.0]])
     bb_max = jnp.asarray([[10.0, 10.0], [90.0, 90.0], [50.0, 12.0]])
     valid = jnp.asarray([True, True, True])
-    fi, fo, seg_len, g_count = bin_faces_to_tiles(
+    fi, fo, seg_len, g_count, _ = bin_faces_to_tiles(
         bb_min, bb_max, valid, 4, 4, 32, 0.0, 0.0, 8, 8)
     assert int(g_count) == 1                   # the 0..90 face
     seg = np.asarray(seg_len).reshape(4, 4)

@@ -97,3 +97,106 @@ def test_window_offset_tiled():
                                    tile=32, capacity=16, face_chunk=8)
     np.testing.assert_allclose(np.asarray(depw),
                                np.asarray(depf)[44:84, 50:90], atol=1e-5)
+
+
+def test_probe_capacity_matches_host_loops():
+    """The single-dispatch batched probe must agree with the per-pose host
+    utilities it replaces (max_tile_overlap / count_large_faces)."""
+    from pose3d_tpu.render.rasterizer_tiled import (count_large_faces,
+                                                    probe_capacity)
+    for kind, size, z in [("cube", 0.1, 0.4), ("sphere", 0.1, 0.35),
+                          ("tetra", 0.12, 0.5)]:
+        mesh = (make_test_mesh(kind, size) if kind != "sphere"
+                else _sphere_mesh(2, size))
+        poses, _ = create_view_poses(0, (z, z + 0.1, 1.0), (0, 30, 30),
+                                     True)
+        poses = np.asarray(poses[:8], np.float32)
+        if len(poses) < 8:
+            poses = np.concatenate(
+                [poses, np.tile(poses[-1:], (8 - len(poses), 1, 1))])
+        mo, nl = probe_capacity(jnp.asarray(mesh.vertices),
+                                jnp.asarray(mesh.faces),
+                                jnp.asarray(poses), K,
+                                width=W, height=H, tile=32)
+        want_mo = max(max_tile_overlap(mesh.vertices, mesh.faces,
+                                       mesh.colors, p, np.asarray(K),
+                                       W, H, tile=32) for p in poses)
+        want_nl = max(count_large_faces(mesh.vertices, mesh.faces,
+                                        mesh.colors, p, np.asarray(K),
+                                        W, H, tile=32) for p in poses)
+        assert int(mo) == want_mo, kind
+        assert int(nl) == want_nl, kind
+
+
+def test_probe_capacity_ignores_bucket_padding():
+    """Point-degenerate [0,0,0] pad faces must not count toward capacity
+    (and must not render): the probe and the binning both exclude them."""
+    from pose3d_tpu.render.rasterizer_tiled import probe_capacity
+    mesh = make_test_mesh("cube", 0.1)
+    poses = np.tile(np.asarray(_pose())[None], (8, 1, 1))
+    base = probe_capacity(jnp.asarray(mesh.vertices),
+                          jnp.asarray(mesh.faces), jnp.asarray(poses), K,
+                          width=W, height=H, tile=32)
+    faces_padded = np.concatenate(
+        [mesh.faces, np.zeros((100, 3), np.int32)])
+    padded = probe_capacity(jnp.asarray(mesh.vertices),
+                            jnp.asarray(faces_padded), jnp.asarray(poses),
+                            K, width=W, height=H, tile=32)
+    assert int(base[0]) == int(padded[0])
+    assert int(base[1]) == int(padded[1])
+    # and the padded render matches the unpadded one exactly
+    args = (jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+            jnp.asarray(mesh.colors), _pose(), K)
+    colb, depb = render_view_tiled(*args, width=W, height=H, tile=32,
+                                   capacity=16, face_chunk=8)
+    colp, depp = render_view_tiled(
+        jnp.asarray(mesh.vertices), jnp.asarray(faces_padded),
+        jnp.asarray(mesh.colors), _pose(), K, width=W, height=H, tile=32,
+        capacity=16, face_chunk=8)
+    np.testing.assert_array_equal(np.asarray(depp), np.asarray(depb))
+
+
+def test_overflow_flag_tiled():
+    """return_overflow reports dropped geometry exactly: False at adequate
+    capacity, True when a tile's face population exceeds it."""
+    mesh = _sphere_mesh(2)              # 1280 faces, ~60 px across
+    true_cap = max_tile_overlap(mesh.vertices, mesh.faces, mesh.colors,
+                                np.asarray(_pose()), np.asarray(K), W, H,
+                                tile=32)
+    args = (jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+            jnp.asarray(mesh.colors), _pose(), K)
+    *_, ovf_ok = render_view_tiled(*args, width=W, height=H, tile=32,
+                                   capacity=true_cap, face_chunk=1,
+                                   return_overflow=True)
+    assert not bool(ovf_ok)
+    *_, ovf_bad = render_view_tiled(*args, width=W, height=H, tile=32,
+                                    capacity=max(1, true_cap // 4),
+                                    face_chunk=1, return_overflow=True)
+    assert bool(ovf_bad)
+
+
+def test_render_patches_overflow_autoresize(monkeypatch, tmp_path):
+    """A pose whose tile overlap exceeds the probed capacity must trigger
+    the loud re-render path (not silent holes): force a lowballed probe
+    and check the output still matches an adequately-sized render."""
+    import pose3d_tpu.render.rasterizer_tiled as rt
+    from pose3d_tpu.data.dataset import _render_patches, _render_program
+    mesh = _sphere_mesh(3, 0.1)         # 5120 faces: overlap > 256 up close
+    cam = np.asarray([[300.0, 0.0, 64.0], [0.0, 300.0, 64.0],
+                      [0.0, 0.0, 1.0]], np.float32)
+    pose = np.asarray(_pose(0.4))[None]
+
+    real_probe = rt.probe_capacity
+
+    def lowball(*a, **k):
+        mo, nl = real_probe(*a, **k)
+        return jnp.minimum(mo, 1), jnp.minimum(nl, 1)
+
+    monkeypatch.setattr(rt, "probe_capacity", lowball)
+    _render_program.cache_clear()
+    low = _render_patches(mesh, cam, pose, 128, 128, 0, 0, 64.0, 64.0, 0.4)
+
+    monkeypatch.setattr(rt, "probe_capacity", real_probe)
+    _render_program.cache_clear()
+    good = _render_patches(mesh, cam, pose, 128, 128, 0, 0, 64.0, 64.0, 0.4)
+    np.testing.assert_allclose(low, good, atol=1e-5)
