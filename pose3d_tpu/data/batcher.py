@@ -166,6 +166,110 @@ def build_batch(key: jax.Array, it: jnp.ndarray, groups: int,
     return batch.reshape(groups * TRIPLET_SIZE, *anchor.shape[1:])
 
 
+def manifold_layout(loss_slices, batch_size: int):
+    """(n_triplets, n_pairs) for the legacy two-slice triplet+pair loss
+    plan of network/manifold.prototxt:111-171 — the 330-row batch splits at
+    row 198 into 66 (anchor, puller, pusher) triplets and 66 (anchor,
+    puller) pairs.  Raises for any other slice plan: feeding a 5-group
+    batch into this loss silently misaligns every row after the first
+    group (a latent mismatch the reference's own buildBatch has)."""
+    if len(loss_slices) != 2:
+        raise ValueError(
+            f"manifold_layout expects a triplet+pair two-slice plan, got "
+            f"{loss_slices!r}")
+    (b0, e0, n0, p0), (b1, e1, n1, p1) = loss_slices
+    e1 = batch_size if e1 == -1 else e1
+    if not (n0 == 1 and p0 == 0 and n1 == 0 and p1 == 1 and b1 == e0):
+        raise ValueError(
+            f"unsupported two-slice plan {loss_slices!r}: need contiguous "
+            "(triplets, num_negatives=1) then (pairs, use_pair=1)")
+    if (e0 - b0) % 3 or (e1 - b1) % 2:
+        raise ValueError(
+            f"slice rows not divisible by group size: {loss_slices!r}")
+    return (e0 - b0) // 3, (e1 - b1) // 2
+
+
+def manifold_batch_indices(key: jax.Array, it: jnp.ndarray,
+                           n_triplets: int, n_pairs: int, data: DeviceData,
+                           bootstrapping: bool = False,
+                           knn_tables=None) -> dict:
+    """Index selection for the triplet+pair layout (the Wohlhart original
+    formulation, network/manifold.prototxt): anchors walk the linear id
+    scheme (obj = id % O, pose = id / O — same as buildBatch :67-68);
+    puller = most similar template; the triplet's single pusher uses the
+    pusher0 semantics (elevation-gated for rotInv objects, != puller
+    otherwise, reference :79-92), replaced under bootstrapping by the
+    misclassified kNN template when one exists (:103-129)."""
+    O = data.nr_objects
+    Ntr = data.nr_training_poses
+    T = data.nr_template_poses
+    n = n_triplets + n_pairs
+
+    linear = it * n + jnp.arange(n)
+    obj = (linear % O).astype(jnp.int32)
+    pose = ((linear // O) % Ntr).astype(jnp.int32)
+    puller = data.max_sim_tmpl[obj, pose, 0]
+
+    tob = obj[:n_triplets]
+    tpo = pose[:n_triplets]
+    tpu = puller[:n_triplets]
+    rot = data.rot_inv[tob] != 0
+    ks = jax.random.split(key, 2)
+    p_rot = _masked_uniform(ks[0], data.elev_ok[tob, tpu])
+    p_plain = _uniform_except(ks[0], T, tpu)
+    pusher_obj = tob
+    pusher_pose = jnp.where(rot, p_rot, p_plain)
+    if bootstrapping:
+        if knn_tables is None:
+            raise ValueError("bootstrapping requires knn_tables")
+        knn, _ = knn_tables
+        knn_obj = knn[tob, tpo, 0]
+        knn_pose = knn[tob, tpo, 1]
+        missed = (knn_obj != tob) | (knn_pose != tpu)
+        pusher_obj = jnp.where(missed, knn_obj, pusher_obj)
+        pusher_pose = jnp.where(missed, knn_pose, pusher_pose)
+
+    return dict(obj=obj, pose=pose, puller=puller,
+                pusher_obj=pusher_obj, pusher_pose=pusher_pose)
+
+
+@partial(jax.jit, static_argnames=("n_triplets", "n_pairs",
+                                   "bootstrapping", "random_background"))
+def build_batch_manifold(key: jax.Array, it: jnp.ndarray, n_triplets: int,
+                         n_pairs: int, data: DeviceData,
+                         random_background: int = 0,
+                         bg_bank: Optional[jnp.ndarray] = None,
+                         bootstrapping: bool = False,
+                         knn_tables=None,
+                         noise_bank: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+    """Assemble one triplet+pair batch
+    [(3 * n_triplets + 2 * n_pairs), 64, 64, 7] matching the legacy
+    ``manifold`` net's loss_slices ((0, 198, 1, 0), (198, -1, 0, 1)):
+    rows [0, 3t) are (anchor, puller, pusher) groups, rows [3t, ..) are
+    (anchor, puller) pairs.  Anchors get the background fill, as in
+    buildBatch (reference src/networksolver.cpp:168-171)."""
+    kidx, kfill = jax.random.split(key)
+    ix = manifold_batch_indices(kidx, it, n_triplets, n_pairs, data,
+                                bootstrapping, knn_tables)
+
+    anchor = data.train_patches[ix["obj"], ix["pose"]].astype(jnp.float32)
+    puller = data.tmpl_patches[ix["obj"], ix["puller"]].astype(jnp.float32)
+    pusher = data.tmpl_patches[ix["pusher_obj"],
+                               ix["pusher_pose"]].astype(jnp.float32)
+
+    if random_background != 0:
+        anchor = random_fill(kfill, anchor, random_background, bg_bank,
+                             noise_bank)
+
+    t = n_triplets
+    trip = jnp.stack([anchor[:t], puller[:t], pusher], axis=1)
+    pair = jnp.stack([anchor[t:], puller[t:]], axis=1)
+    shp = anchor.shape[1:]
+    return jnp.concatenate([trip.reshape(3 * t, *shp),
+                            pair.reshape(2 * n_pairs, *shp)])
+
+
 def class_batch_indices(key: jax.Array, it: jnp.ndarray, groups: int,
                         data: DeviceData, bootstrapping: bool = False,
                         knn_tables=None) -> dict:

@@ -42,10 +42,30 @@ HISTOGRAM_BINS = (-1.0, 0.0, 10.0, 20.0, 40.0, 180.0)
 
 # ------------------------------------------------------------- descriptors
 
+# jit caches are keyed by function identity: wrapping the SAME apply_fn in
+# a fresh jax.jit per call would retrace on every logging/eval pass.  One
+# wrapper per apply_fn object for the process lifetime (apply_fns come from
+# the memoized models.manifold.descriptor_fn, so this stays tiny).
+_JIT_CACHE: dict = {}
+
+
+def _jitted(apply_fn: Callable) -> Callable:
+    fn = _JIT_CACHE.get(apply_fn)
+    if fn is None:
+        fn = _JIT_CACHE[apply_fn] = jax.jit(apply_fn)
+    return fn
+
+
 def compute_descriptors(apply_fn: Callable, params, patches: jnp.ndarray,
                         batch_size: int = 512, mesh=None) -> jnp.ndarray:
-    """Forward all patches [N, 64, 64, 7] -> [N, D] in fixed-size jitted
-    chunks (pad + trim keeps one compiled program for any N).
+    """Forward all patches [N, 64, 64, 7] -> [N, D].
+
+    Device-resident inputs take the ONE-dispatch path: the whole chunked
+    pass runs as a single compiled program (lax.map over fixed-size
+    chunks) — the per-chunk host loop it replaces paid one dispatch
+    round trip per chunk, ~100 ms each through a tunneled device (a full
+    LineMOD kNN pass is ~90 chunks).  Host inputs (np.ndarray) keep the
+    per-chunk loop so only one chunk is transferred at a time.
 
     With ``mesh``, each chunk's batch axis is sharded over the ``dp`` axis —
     descriptor extraction (and therefore every kNN metric built on it)
@@ -59,8 +79,10 @@ def compute_descriptors(apply_fn: Callable, params, patches: jnp.ndarray,
     if mesh is not None and mesh.size > 1:
         batch_size = ((batch_size + mesh.size - 1)
                       // mesh.size) * mesh.size
+    elif isinstance(patches, jnp.ndarray):
+        return _descriptors_one_shot(apply_fn, params, patches, batch_size)
 
-    fn = jax.jit(apply_fn)
+    fn = _jitted(apply_fn)
     outs = []
     for s in range(0, N, batch_size):
         chunk = patches[s:s + batch_size].astype(jnp.float32)
@@ -75,16 +97,39 @@ def compute_descriptors(apply_fn: Callable, params, patches: jnp.ndarray,
     return jnp.concatenate(outs)
 
 
+def _descriptors_one_shot(apply_fn: Callable, params, patches: jnp.ndarray,
+                          chunk: int) -> jnp.ndarray:
+    """Whole descriptor pass as one compiled program (resident inputs)."""
+    fn = _JIT_CACHE.get(("oneshot", apply_fn))
+    if fn is None:
+        def _pass(params, padded):
+            return jax.lax.map(
+                lambda c: apply_fn(params, c.astype(jnp.float32)), padded)
+        fn = _JIT_CACHE[("oneshot", apply_fn)] = jax.jit(_pass)
+    N = patches.shape[0]
+    pad = (-N) % chunk
+    if pad:
+        patches = jnp.concatenate(
+            [patches,
+             jnp.zeros((pad,) + patches.shape[1:], patches.dtype)])
+    out = fn(params, patches.reshape((-1, chunk) + patches.shape[1:]))
+    return out.reshape((-1,) + out.shape[2:])[:N]
+
+
 def binary_descriptor_fn(apply_fn: Callable) -> Callable:
     """Wrap a binarization-head forward into a {0,1}-code extractor.
 
     For codes in {0,1}, squared L2 equals Hamming distance, so the binary
     codes flow through the same kNN/histogram/confusion machinery and the
     retrieval is exactly the reference's Hamming evaluation of the 128-bit
-    head (network/manifold_rgbdnor_16_bin.prototxt)."""
-    def fn(params, patches):
-        logits = apply_fn(params, patches)
-        return (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+    head (network/manifold_rgbdnor_16_bin.prototxt).  Memoized per
+    apply_fn so repeated wraps share one jit trace downstream."""
+    fn = _JIT_CACHE.get(("bin", apply_fn))
+    if fn is None:
+        def fn(params, patches):
+            logits = apply_fn(params, patches)
+            return (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+        _JIT_CACHE[("bin", apply_fn)] = fn
     return fn
 
 

@@ -35,7 +35,9 @@ import jax
 import jax.numpy as jnp
 
 from pose3d_tpu.config import Config
-from pose3d_tpu.data.batcher import TRIPLET_SIZE, build_batch, epoch_iters
+from pose3d_tpu.data.batcher import (TRIPLET_SIZE, build_batch,
+                                     build_batch_manifold, epoch_iters,
+                                     manifold_layout)
 from pose3d_tpu.data.dataset import DeviceData
 from pose3d_tpu.eval import evaluator
 from pose3d_tpu.models import NETWORKS, NetSpec, apply, init_params, losses
@@ -63,11 +65,42 @@ class Solver:
         self.mesh = mesh if mesh is not None else make_mesh(
             cfg.data_parallel)
         self.batch_size = cfg.batch_size or self.spec.batch_size
-        self.groups = self.batch_size // TRIPLET_SIZE
-        if self.groups % self.mesh.size != 0 and self.mesh.size > 1:
-            # pad groups up so the dp axis divides the batch
-            self.groups += self.mesh.size - self.groups % self.mesh.size
-        self.epoch_iter = epoch_iters(self.data, self.groups * TRIPLET_SIZE)
+        if self.spec.group_sizes == (TRIPLET_SIZE,):
+            # standard 5-sample-group nets (buildBatch layout)
+            self.manifold_groups = None
+            self.groups = self.batch_size // TRIPLET_SIZE
+            if self.groups % self.mesh.size != 0 and self.mesh.size > 1:
+                # pad groups up so the dp axis divides the batch
+                self.groups += self.mesh.size - self.groups % self.mesh.size
+            anchors = self.groups
+        else:
+            # the legacy `manifold` triplet+pair layout — a 5-group batch
+            # would misalign every loss row after the first group, so it
+            # gets its own builder (manifold_layout raises on any other
+            # nonstandard plan).  The prototxt slices are absolute rows
+            # for the shipped batch (330 split at 198); a custom
+            # batch_size rescales the plan preserving the group ratio.
+            import dataclasses as _dc
+            nt0, np0 = manifold_layout(self.spec.loss_slices,
+                                       self.spec.batch_size)
+            if self.batch_size != self.spec.batch_size:
+                b0 = self.spec.batch_size
+                nt = nt0 * self.batch_size // b0
+                npair = np0 * self.batch_size // b0
+                if 3 * nt + 2 * npair != self.batch_size:
+                    raise ValueError(
+                        f"batch_size {self.batch_size} cannot carry the "
+                        f"{nt0}:{np0} triplet:pair plan of "
+                        f"{self.spec.name!r} (native batch {b0})")
+                self.spec = _dc.replace(
+                    self.spec, batch_size=self.batch_size,
+                    loss_slices=((0, 3 * nt, 1, 0), (3 * nt, -1, 0, 1)))
+            self.manifold_groups = manifold_layout(self.spec.loss_slices,
+                                                   self.batch_size)
+            self.groups = self.batch_size // TRIPLET_SIZE
+            anchors = sum(self.manifold_groups)
+        self.epoch_iter = max(
+            1, (data.nr_objects * data.nr_training_poses) // anchors)
 
         self.compute_dtype, self.precision = precision_from_config(
             cfg.compute_dtype)
@@ -104,27 +137,42 @@ class Solver:
         return (jnp.zeros((O, Ntr, 4), jnp.int32),
                 jnp.zeros((O, Ntr), bool))
 
+    def _build_batch(self, kb, it, data, bootstrapping, knn_tables):
+        """Trace-time dispatch to the spec's batch layout."""
+        cfg = self.cfg
+        if self.manifold_groups is not None:
+            nt, npair = self.manifold_groups
+            return build_batch_manifold(
+                kb, it, nt, npair, data,
+                random_background=cfg.random_background,
+                bg_bank=self.bg_bank, bootstrapping=bootstrapping,
+                knn_tables=knn_tables, noise_bank=self.noise_bank)
+        return build_batch(kb, it, self.groups, data,
+                           random_background=cfg.random_background,
+                           bg_bank=self.bg_bank,
+                           bootstrapping=bootstrapping,
+                           knn_tables=knn_tables,
+                           noise_bank=self.noise_bank)
+
+    def _shard_batch(self, batch):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if self.mesh.size > 1 and batch.shape[0] % self.mesh.size == 0:
+            return jax.lax.with_sharding_constraint(
+                batch, NamedSharding(self.mesh, P("dp")))
+        return batch
+
     def _train_step(self, bootstrapping: bool):
         """Build (and cache) the jitted step for a bootstrapping mode."""
         if bootstrapping in self._steps:
             return self._steps[bootstrapping]
 
         spec = self.spec
-        cfg = self.cfg
-        groups = self.groups
-        mesh = self.mesh
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
         def step(state, data, knn_tables, it):
             key, kb = jax.random.split(state["key"])
-            batch = build_batch(kb, it, groups, data,
-                                random_background=cfg.random_background,
-                                bg_bank=self.bg_bank,
-                                bootstrapping=bootstrapping,
-                                knn_tables=knn_tables,
-                                noise_bank=self.noise_bank)
-            batch = jax.lax.with_sharding_constraint(
-                batch, NamedSharding(mesh, P("dp")))
+            batch = self._build_batch(kb, it, data, bootstrapping,
+                                      knn_tables)
+            batch = self._shard_batch(batch)
 
             def loss_fn(params):
                 desc = apply(params, spec, batch,
@@ -156,23 +204,14 @@ class Solver:
             return self._steps[key_]
 
         spec = self.spec
-        cfg = self.cfg
-        groups = self.groups
-        mesh = self.mesh
         n_iters = self.epoch_iter
-        from jax.sharding import NamedSharding, PartitionSpec as P
 
         def epoch(state, data, knn_tables):
             def body(carry, it):
                 key, kb = jax.random.split(carry["key"])
-                batch = build_batch(kb, it, groups, data,
-                                    random_background=cfg.random_background,
-                                    bg_bank=self.bg_bank,
-                                    bootstrapping=bootstrapping,
-                                    knn_tables=knn_tables,
-                                    noise_bank=self.noise_bank)
-                batch = jax.lax.with_sharding_constraint(
-                    batch, NamedSharding(mesh, P("dp")))
+                batch = self._build_batch(kb, it, data, bootstrapping,
+                                          knn_tables)
+                batch = self._shard_batch(batch)
 
                 def loss_fn(params):
                     desc = apply(params, spec, batch,
@@ -349,32 +388,44 @@ class Solver:
             trunk_param_names(bin_spec))
         groups = self.groups
 
-        def step(state, data, it):
-            key, kb = jax.random.split(state["key"])
-            batch = build_batch(kb, it, groups, data,
-                                random_background=cfg.random_background,
-                                bg_bank=self.bg_bank,
-                                noise_bank=self.noise_bank)
+        n_iters = self.epoch_iter
 
-            def loss_fn(p):
-                logits = apply(p, bin_spec, batch, bin_head=True)
-                return losses.binarization_loss(logits)
+        def epoch(state, data):
+            # one compiled program per binarization epoch (lax.scan over
+            # the step) — the per-iteration host loop this replaces was
+            # dispatch-bound through a tunneled device, exactly like the
+            # main train loop before its epoch scan
+            def body(carry, it):
+                key, kb = jax.random.split(carry["key"])
+                batch = build_batch(kb, it, groups, data,
+                                    random_background=cfg.random_background,
+                                    bg_bank=self.bg_bank,
+                                    noise_bank=self.noise_bank)
 
-            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
-            updates, opt = tx.update(grads, state["opt"], state["params"])
-            new_params = jax.tree.map(lambda p, u: p + u, state["params"],
-                                      updates)
-            return {"params": new_params, "opt": opt, "key": key,
-                    "iter": state["iter"] + 1}, loss
+                def loss_fn(p):
+                    logits = apply(p, bin_spec, batch, bin_head=True)
+                    return losses.binarization_loss(logits)
 
-        jitted = jax.jit(step, donate_argnums=(0,))
+                loss, grads = jax.value_and_grad(loss_fn)(carry["params"])
+                updates, opt = tx.update(grads, carry["opt"],
+                                         carry["params"])
+                new_params = jax.tree.map(lambda p, u: p + u,
+                                          carry["params"], updates)
+                return {"params": new_params, "opt": opt, "key": key,
+                        "iter": carry["iter"] + 1}, loss
+
+            state, ls = jax.lax.scan(body, state, jnp.arange(n_iters))
+            return state, ls.mean()
+
+        jitted = jax.jit(epoch, donate_argnums=(0,))
         state = {"params": params, "opt": tx.init(params), "key": key,
                  "iter": jnp.zeros((), jnp.int32)}
         it_global = 0
         for _epoch in range(cfg.binarization_epochs):
-            for it in range(self.epoch_iter):
-                state, loss = jitted(state, self.data, jnp.int32(it))
-                it_global += 1
+            state, mean_loss = jitted(state, self.data)
+            it_global += n_iters
+        self.last_binarize_loss = (float(mean_loss)
+                                   if cfg.binarization_epochs else None)
         if cfg.output_path:
             checkpoint.save(cfg.output_path, cfg.binarization_net_name,
                             it_global, state)

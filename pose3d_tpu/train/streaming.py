@@ -60,11 +60,15 @@ log = logging.getLogger(__name__)
 
 def light_tables(train_labels: np.ndarray, tmpl_labels: np.ndarray,
                  rot_inv: np.ndarray, inplane: bool = True,
-                 test_labels: Optional[np.ndarray] = None) -> DeviceData:
+                 test_labels: Optional[np.ndarray] = None,
+                 hard_neg_count: Optional[np.ndarray] = None) -> DeviceData:
     """A DeviceData carrying ONLY the small mining tables (1-pixel dummy
     sample tensors): index selection reuses the standard batcher against it.
     ``test_labels`` [O, Nte, 8] enables test-set histogram logging when the
-    solver is given a streamed test source.
+    solver is given a streamed test source.  ``hard_neg_count`` [O] int
+    marks objects with a streamed hard-negative source (negs_<m>.h5 in the
+    reference, src/networksolver.cpp:96-101): the batcher then emits
+    pusher0_is_neg/neg_idx and the host gather substitutes negatives.
     """
     from pose3d_tpu.ops import quaternion as Q
     train_labels = jnp.asarray(train_labels)
@@ -90,7 +94,10 @@ def light_tables(train_labels: np.ndarray, tmpl_labels: np.ndarray,
                      else tmpl_labels[:, :1]),
         max_sim_tmpl=sims, rot_inv=jnp.asarray(rot_inv, jnp.int32),
         elev_ok=jnp.abs(elev[:, :, None] - elev[:, None, :]) >= 0.2,
-        hard_negs=dummy, hard_neg_count=jnp.zeros((O,), jnp.int32))
+        hard_negs=dummy,
+        hard_neg_count=(jnp.asarray(hard_neg_count, jnp.int32)
+                        if hard_neg_count is not None
+                        else jnp.zeros((O,), jnp.int32)))
 
 
 @partial(jax.jit, static_argnames=("epoch_iter", "groups", "bootstrapping"))
@@ -117,6 +124,12 @@ class StreamingSources:
     nr_template_poses: int
     test: Optional[NativeCache] = None     # flattened [O*Nte] (optional)
     nr_test_poses: int = 0
+    # hard negatives (negs_<m>.h5, reference src/networksolver.cpp:96-101):
+    # flattened [O * max_negatives] rows obj-major (rows past an object's
+    # count are never drawn); pass the per-object counts to light_tables
+    # as hard_neg_count so the batcher emits the override indices
+    negatives: Optional[NativeCache] = None
+    max_negatives: int = 0
 
 
 class StreamingSolver:
@@ -166,7 +179,12 @@ class StreamingSolver:
         return batch_sharding(self.mesh)
 
     def _host_batch(self, ix: Dict[str, np.ndarray], it: int) -> np.ndarray:
-        """Assemble one [B, 64, 64, 7] batch on host via native gathers."""
+        """Assemble one [B, 64, 64, 7] batch on host via native gathers.
+
+        When a negatives source exists, pusher0 is replaced by the drawn
+        hard negative wherever the batcher flagged ``pusher0_is_neg`` —
+        the reference's negs_<model>.h5 override (src/networksolver.cpp:
+        96-101)."""
         T = self.src.nr_template_poses
         Ntr = self.src.nr_training_poses
         obj = ix["obj"][it]
@@ -178,6 +196,13 @@ class StreamingSolver:
             ix["pusher2_obj"][it] * T + ix["pusher2_pose"][it]], axis=1)
         tmpls, _ = self.src.templates.gather(tmpl_rows.reshape(-1))
         tmpls = tmpls.reshape(len(obj), 4, *tmpls.shape[1:])
+        if self.src.negatives is not None:
+            is_neg = np.asarray(ix["pusher0_is_neg"][it], bool)
+            if is_neg.any():
+                rows = (obj[is_neg] * self.src.max_negatives
+                        + ix["neg_idx"][it][is_neg])
+                negs, _ = self.src.negatives.gather(rows)
+                tmpls[is_neg, 1] = negs
         batch = np.concatenate([anchors[:, None], tmpls], axis=1)
         return batch.reshape(-1, *batch.shape[2:])
 

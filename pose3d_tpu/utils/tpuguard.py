@@ -34,12 +34,20 @@ def require_tpu(retries: int = 4, wait_s: int = 30,
     import jax
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         return False
+    # the other documented CPU opt-out: jax.config.update("jax_platforms",
+    # "cpu") (CLAUDE.md) — without this check a deliberately-CPU process
+    # would burn every retry re-exec'ing
+    if (getattr(jax.config, "jax_platforms", None) or "").strip() == "cpu":
+        return False
     if jax.default_backend() != "cpu":
         return True
     n = int(os.environ.get(env, "0"))
-    # re-exec replays sys.argv — only possible for real script files
-    # (python -c / REPL invocations cannot be replayed)
-    can_reexec = bool(sys.argv and os.path.exists(sys.argv[0]))
+    # re-exec replays sys.argv — only possible for real script files.
+    # ``python -m pkg.mod`` sets argv[0] to the module FILE; replaying it
+    # as a plain script changes sys.path/package semantics, so refuse.
+    main_pkg = getattr(sys.modules.get("__main__"), "__package__", None)
+    can_reexec = (bool(sys.argv) and os.path.exists(sys.argv[0])
+                  and not main_pkg)
     if n < retries and can_reexec:
         pp = os.environ.get("PYTHONPATH", "")
         parts = [p for p in pp.split(":") if p]

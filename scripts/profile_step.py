@@ -143,11 +143,26 @@ def main():
         ("fwd+bwd only (random batch)", variant(3, mine=False)),
         ("fwd only (random batch)", variant(3, mine=False, bwd=False)),
     ]
+    import json, os
+    results = {"device": str(jax.devices()[0]),
+               "platform": jax.default_backend(),
+               "scale": {"O": O, "Ntr": Ntr, "T": T, "groups": groups},
+               "phases": {}}
     for name, fn in rows:
         dt = time_scan(lambda s, n, f=fn: f(data, noise_bank, params, n),
                        None)
+        results["phases"][name] = {
+            "ms_per_iter": round(dt * 1e3, 3),
+            "samples_per_s": round(groups * 5 / dt, 1)}
         print(f"{name:32s} {dt*1e3:8.2f} ms/iter "
               f"({groups*5/dt:10,.0f} samples/s)", flush=True)
+    out = os.path.join(os.path.dirname(__file__), "..", "PROFILE_STEP.json")
+    for a in sys.argv[1:]:
+        if a.endswith(".json"):
+            out = a
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", os.path.abspath(out), flush=True)
 
 
 if __name__ == "__main__":

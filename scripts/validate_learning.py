@@ -2,10 +2,14 @@
 the protocol metrics.  Passes when the descriptor actually learns pose
 retrieval (exact-match and <20-degree mass far above chance).
 
-Run: PYTHONPATH=. python scripts/validate_learning.py [workdir]
-Writes logs/checkpoints under <workdir>/out and prints the final histogram.
+Run: PYTHONPATH=. python scripts/validate_learning.py [workdir] [artifact]
+Writes logs/checkpoints under <workdir>/out, prints the final histogram,
+and records a gated JSON artifact (default LEARNING.json at the repo root)
+with hard thresholds: wrong-class < 2%, <20 deg > 95%, median within 2x of
+the pose-oracle floor of the sampling sphere.
 """
 
+import json
 import os
 import sys
 import time
@@ -15,8 +19,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+THRESHOLDS = {"wrong_class_max": 0.02, "lt20_min": 0.95,
+              "median_vs_floor_max": 2.0}
 
-def main(base: str = "/tmp/p3d_validate") -> int:
+
+def main(base: str = "/tmp/p3d_validate",
+         artifact: str | None = None) -> int:
     from make_disk_fixture import make_linemod_fixture, write_fixture_config
     from pose3d_tpu.config import load_config
     from pose3d_tpu.data.dataset import DatasetManager
@@ -85,11 +93,42 @@ def main(base: str = "/tmp/p3d_validate") -> int:
     print(f"pose-oracle floor median: {floor_med:.1f} deg "
           f"(achieved median {hist[-1]:.1f})")
 
-    # pass = classification solved AND median within 2x of the oracle floor
-    ok = hist[0] < 0.2 and hist[-1] <= max(2.0 * floor_med, 10.0)
+    # hard gate (VERDICT r2 item 8): classification solved, <20 deg mass
+    # dominant, median within 2x of the oracle floor
+    checks = {
+        "wrong_class": (float(hist[0]),
+                        hist[0] < THRESHOLDS["wrong_class_max"]),
+        "lt20": (float(hist[3]), hist[3] > THRESHOLDS["lt20_min"]),
+        "median_vs_floor": (
+            float(hist[-1]),
+            hist[-1] <= max(THRESHOLDS["median_vs_floor_max"] * floor_med,
+                            10.0)),
+    }
+    ok = all(v[1] for v in checks.values())
     print("LEARNING VALIDATION:", "PASS" if ok else "WEAK", flush=True)
+
+    import jax
+    summary = {
+        "platform": jax.default_backend(),
+        "protocol": "procedural LineMOD fixture, subdiv 1/2, 8+2 rounds",
+        "train_iters": int(state["iter"]),
+        "histogram": {n: round(float(v), 4) for n, v in zip(names, hist)},
+        "pose_oracle_floor_median_deg": round(floor_med, 2),
+        "thresholds": THRESHOLDS,
+        "checks": {k: {"value": round(v, 4), "pass": bool(p)}
+                   for k, (v, p) in checks.items()},
+        "pass": bool(ok),
+    }
+    if artifact is None:
+        artifact = os.path.join(os.path.dirname(__file__), "..",
+                                "LEARNING.json")
+    with open(artifact, "w") as f:
+        json.dump(summary, f, indent=1)
+    print("wrote", os.path.abspath(artifact), flush=True)
     return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/p3d_validate"))
+    args = sys.argv[1:]
+    sys.exit(main(args[0] if args else "/tmp/p3d_validate",
+                  args[1] if len(args) > 1 else None))

