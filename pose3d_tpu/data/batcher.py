@@ -108,18 +108,22 @@ def batch_indices(key: jax.Array, it: jnp.ndarray, groups: int,
     p2_obj = _uniform_except(ks[3], O, obj)
     p2_pose = jax.random.randint(ks[4], obj.shape, 0, T)
 
-    if bootstrapping:
-        if knn_tables is None:
-            raise ValueError("bootstrapping requires knn_tables")
+    # ``bootstrapping`` may be a Python bool (compile-time folded) OR a
+    # traced bool scalar — the latter lets ONE compiled epoch program
+    # serve both phases (each extra program costs ~25-30 s of per-process
+    # executable load through a tunneled device)
+    if knn_tables is not None:
         knn, has_second = knn_tables
         knn_obj = knn[obj, pose, 0]
         knn_pose = knn[obj, pose, 1]
-        missed = (knn_obj != obj) | (knn_pose != puller)
+        missed = ((knn_obj != obj) | (knn_pose != puller)) & bootstrapping
         pusher1_obj = jnp.where(missed, knn_obj, pusher1_obj)
         pusher1_pose = jnp.where(missed, knn_pose, pusher1_pose)
         use2 = missed & has_second[obj, pose]
         p2_obj = jnp.where(use2, knn[obj, pose, 2], p2_obj)
         p2_pose = jnp.where(use2, knn[obj, pose, 3], p2_pose)
+    elif not (isinstance(bootstrapping, bool) and not bootstrapping):
+        raise ValueError("bootstrapping requires knn_tables")
 
     return dict(obj=obj, pose=pose, puller=puller, pusher0=pusher0,
                 pusher0_is_neg=has_neg, neg_idx=neg_idx,
@@ -127,15 +131,15 @@ def batch_indices(key: jax.Array, it: jnp.ndarray, groups: int,
                 pusher2_obj=p2_obj, pusher2_pose=p2_pose)
 
 
-@partial(jax.jit, static_argnames=("groups", "bootstrapping",
-                                   "random_background"))
+@partial(jax.jit, static_argnames=("groups", "random_background"))
 def build_batch(key: jax.Array, it: jnp.ndarray, groups: int,
                 data: DeviceData, random_background: int = 0,
                 bg_bank: Optional[jnp.ndarray] = None,
-                bootstrapping: bool = False,
+                bootstrapping=False,
                 knn_tables=None,
                 noise_bank: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Assemble one training batch [groups * 5, 64, 64, 7] on device.
+    ``bootstrapping`` may be a traced bool (see batch_indices).
 
     Group layout (anchor, puller, pusher0, pusher1, pusher2) — the exact
     emission order of the reference batch builder (:173-178), which the
@@ -191,7 +195,7 @@ def manifold_layout(loss_slices, batch_size: int):
 
 def manifold_batch_indices(key: jax.Array, it: jnp.ndarray,
                            n_triplets: int, n_pairs: int, data: DeviceData,
-                           bootstrapping: bool = False,
+                           bootstrapping=False,
                            knn_tables=None) -> dict:
     """Index selection for the triplet+pair layout (the Wohlhart original
     formulation, network/manifold.prototxt): anchors walk the linear id
@@ -219,27 +223,27 @@ def manifold_batch_indices(key: jax.Array, it: jnp.ndarray,
     p_plain = _uniform_except(ks[0], T, tpu)
     pusher_obj = tob
     pusher_pose = jnp.where(rot, p_rot, p_plain)
-    if bootstrapping:
-        if knn_tables is None:
-            raise ValueError("bootstrapping requires knn_tables")
+    if knn_tables is not None:
         knn, _ = knn_tables
         knn_obj = knn[tob, tpo, 0]
         knn_pose = knn[tob, tpo, 1]
-        missed = (knn_obj != tob) | (knn_pose != tpu)
+        missed = ((knn_obj != tob) | (knn_pose != tpu)) & bootstrapping
         pusher_obj = jnp.where(missed, knn_obj, pusher_obj)
         pusher_pose = jnp.where(missed, knn_pose, pusher_pose)
+    elif not (isinstance(bootstrapping, bool) and not bootstrapping):
+        raise ValueError("bootstrapping requires knn_tables")
 
     return dict(obj=obj, pose=pose, puller=puller,
                 pusher_obj=pusher_obj, pusher_pose=pusher_pose)
 
 
 @partial(jax.jit, static_argnames=("n_triplets", "n_pairs",
-                                   "bootstrapping", "random_background"))
+                                   "random_background"))
 def build_batch_manifold(key: jax.Array, it: jnp.ndarray, n_triplets: int,
                          n_pairs: int, data: DeviceData,
                          random_background: int = 0,
                          bg_bank: Optional[jnp.ndarray] = None,
-                         bootstrapping: bool = False,
+                         bootstrapping=False,
                          knn_tables=None,
                          noise_bank: Optional[jnp.ndarray] = None
                          ) -> jnp.ndarray:

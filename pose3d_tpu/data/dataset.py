@@ -33,7 +33,7 @@ import logging
 import os
 from dataclasses import dataclass
 from functools import lru_cache, partial
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -219,6 +219,16 @@ def extract_synth_samples_benjamin(path: str, cam: np.ndarray,
     return extract_real_samples(bench, class_idx, None, "Benjamin")
 
 
+def _synth_window(cam: np.ndarray, scale_z: float):
+    fx, fy = float(cam[0, 0]), float(cam[1, 1])
+    ox, oy = float(cam[0, 2]), float(cam[1, 2])
+    m = 0.2
+    border = 4
+    sw = int(fx * m / scale_z) + 2 * border
+    sh = int(fy * m / scale_z) + 2 * border
+    return sw, sh, int(ox) - sw // 2, int(oy) - sh // 2, ox, oy
+
+
 def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
                          subdiv: int, inplane: bool,
                          scale_z: float = 0.4,
@@ -228,19 +238,39 @@ def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
     rots = (-45.0, 15.0, 45.0) if inplane else (0.0, 15.0, 10.0)
     poses, _ = create_view_poses(subdiv, (scale_z, 1.1, 1.0), rots, True)
 
-
-    fx, fy = float(cam[0, 0]), float(cam[1, 1])
-    ox, oy = float(cam[0, 2]), float(cam[1, 2])
-    m = 0.2
-    border = 4
-    sw = int(fx * m / scale_z) + 2 * border
-    sh = int(fy * m / scale_z) + 2 * border
-    x0 = int(ox) - sw // 2
-    y0 = int(oy) - sh // 2
-
+    sw, sh, x0, y0, ox, oy = _synth_window(cam, scale_z)
     patches = _render_patches(mesh, cam, poses, sw, sh, x0, y0,
                               ox, oy, scale_z, to_host=to_host)
     return SampleSet(patches, poses_to_labels(class_idx, poses))
+
+
+def create_synth_samples_pair(mesh: Mesh, cam: np.ndarray, class_idx: int,
+                              subdiv_tmpl: int, subdiv_train: int,
+                              inplane: bool, scale_z: float = 0.4,
+                              to_host: bool = True
+                              ) -> Tuple[SampleSet, SampleSet]:
+    """Templates + training views of one mesh in ONE render invocation.
+
+    Behaviorally identical to two ``create_synth_samples`` calls (same
+    windows, same per-view programs), but the concatenated pose batch
+    shares one capacity probe, one compiled render program (one
+    chunk-count shape instead of two) and one overflow check — on a
+    tunneled device each extra compiled program costs ~25-30 s of
+    per-process executable load, which dominated generation wall time.
+    """
+    rots = (-45.0, 15.0, 45.0) if inplane else (0.0, 15.0, 10.0)
+    poses_t, _ = create_view_poses(subdiv_tmpl, (scale_z, 1.1, 1.0), rots,
+                                   True)
+    poses_s, _ = create_view_poses(subdiv_train, (scale_z, 1.1, 1.0), rots,
+                                   True)
+    nt = len(poses_t)
+    sw, sh, x0, y0, ox, oy = _synth_window(cam, scale_z)
+    patches = _render_patches(mesh, cam,
+                              np.concatenate([poses_t, poses_s]),
+                              sw, sh, x0, y0, ox, oy, scale_z,
+                              to_host=to_host)
+    return (SampleSet(patches[:nt], poses_to_labels(class_idx, poses_t)),
+            SampleSet(patches[nt:], poses_to_labels(class_idx, poses_s)))
 
 
 def _pow2_at_least(n: int, floor: int) -> int:
@@ -336,15 +366,23 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     doubled capacity instead of silently dropping geometry."""
     from pose3d_tpu.render.rasterizer_tiled import probe_capacity
     fx, fy = float(cam[0, 0]), float(cam[1, 1])
+    backend = jax.default_backend()
     # bucket the face AND vertex counts (pad with degenerate geometry) so
-    # meshes of similar size share one compiled render program
+    # meshes of similar size share one compiled render program.  On TPU
+    # the floors are COARSE (2048 faces / 1024 verts) and the capacity
+    # floor below is 512: every small-to-mid mesh then shares literally
+    # one program — each distinct program costs ~25-30 s of per-process
+    # executable load through the tunnel, which dominated generation.
+    # CPU compiles locally and keeps tight buckets.
+    f_floor, v_floor, cap_floor = ((2048, 1024, 512) if backend == "tpu"
+                                   else (256, 128, 256))
     F = len(mesh.faces)
-    bucket = _pow2_at_least(F, 256)
+    bucket = _pow2_at_least(F, f_floor)
     faces_np = np.concatenate(
         [mesh.faces, np.zeros((bucket - F, 3), np.int32)]) \
         if bucket > F else mesh.faces
     Nv = len(mesh.vertices)
-    vbucket = _pow2_at_least(Nv, 128)
+    vbucket = _pow2_at_least(Nv, v_floor)
     verts_np = np.concatenate(
         [mesh.vertices, np.zeros((vbucket - Nv, 3), np.float32)]) \
         if vbucket > Nv else mesh.vertices
@@ -382,12 +420,14 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     mo, nl = jax.device_get(probe_capacity(
         verts, faces, jnp.asarray(np.asarray(pr, np.float32)), K,
         width=sw, height=sh, x0=x0, y0=y0, tile=tile))
-    capacity = max(256, -(-int(np.ceil(int(mo) * 1.5)) // 512) * 512)
+    capacity = max(cap_floor, -(-int(np.ceil(int(mo) * 1.5)) // 512) * 512)
     # size the binning's shared >2x2-tile face section the same way
-    # (coarse meshes near the camera can exceed the 256 default)
-    global_cap = max(256, -(-int(np.ceil(int(nl) * 1.5)) // 512) * 512)
+    # (coarse meshes near the camera can exceed the 256 default); on TPU
+    # the floor matches cap_floor so the global-section size cannot split
+    # otherwise-identical programs
+    global_cap = max(256 if backend != "tpu" else cap_floor,
+                     -(-int(np.ceil(int(nl) * 1.5)) // 512) * 512)
 
-    backend = jax.default_backend()
     if views_per_call is None:
         # packed face blocks are ~11 MB/view at LineMOD density (bounds the
         # per-chunk VMEM/HBM working set); CPU prefers bigger host chunks
@@ -509,10 +549,9 @@ class DatasetManager:
                 synth = extract_synth_samples_benjamin(
                     cfg.simulated_training_path, bench.cam, model_name, idx)
             elif cfg.inplane:
-                templates = create_synth_samples(mesh, bench.cam, idx,
-                                                 cfg.template_subdiv, True)
-                synth = create_synth_samples(mesh, bench.cam, idx,
-                                             cfg.training_subdiv, True)
+                templates, synth = create_synth_samples_pair(
+                    mesh, bench.cam, idx, cfg.template_subdiv,
+                    cfg.training_subdiv, True)
             else:
                 allp = create_synth_samples_paul(mesh, bench.cam, idx,
                                                  cfg.dataset_path,

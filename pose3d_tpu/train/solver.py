@@ -162,55 +162,17 @@ class Solver:
         return batch
 
     def _train_step(self, bootstrapping: bool):
-        """Build (and cache) the jitted step for a bootstrapping mode."""
-        if bootstrapping in self._steps:
-            return self._steps[bootstrapping]
+        """The jitted step, partially applied to a bootstrapping mode.
 
-        spec = self.spec
+        ONE compiled program serves both modes (the flag is a traced
+        bool): a second program would cost another ~25-30 s of
+        per-process executable load through a tunneled device."""
+        if "step" not in self._steps:
+            spec = self.spec
 
-        def step(state, data, knn_tables, it):
-            key, kb = jax.random.split(state["key"])
-            batch = self._build_batch(kb, it, data, bootstrapping,
-                                      knn_tables)
-            batch = self._shard_batch(batch)
-
-            def loss_fn(params):
-                desc = apply(params, spec, batch,
-                             compute_dtype=self.compute_dtype,
-                             precision=self.precision)
-                return losses.spec_loss(desc, spec.loss_slices, spec.margin)
-
-            loss, grads = jax.value_and_grad(loss_fn)(state["params"])
-            updates, opt = self.tx.update(grads, state["opt"],
-                                          state["params"])
-            params = jax.tree.map(lambda p, u: p + u, state["params"],
-                                  updates)
-            new_state = {"params": params, "opt": opt, "key": key,
-                         "iter": state["iter"] + 1}
-            return new_state, loss
-
-        jitted = jax.jit(step, donate_argnums=(0,))
-        self._steps[bootstrapping] = jitted
-        return jitted
-
-    def _train_epoch(self, bootstrapping: bool):
-        """A whole epoch as ONE compiled program (lax.scan over the step).
-
-        One dispatch per epoch instead of per iteration: on a tunneled or
-        congested link the per-call latency otherwise dominates the
-        ~10-60 ms step.  Returns (state, mean_loss)."""
-        key_ = ("epoch", bootstrapping)
-        if key_ in self._steps:
-            return self._steps[key_]
-
-        spec = self.spec
-        n_iters = self.epoch_iter
-
-        def epoch(state, data, knn_tables):
-            def body(carry, it):
-                key, kb = jax.random.split(carry["key"])
-                batch = self._build_batch(kb, it, data, bootstrapping,
-                                          knn_tables)
+            def step(state, data, knn_tables, it, boot):
+                key, kb = jax.random.split(state["key"])
+                batch = self._build_batch(kb, it, data, boot, knn_tables)
                 batch = self._shard_batch(batch)
 
                 def loss_fn(params):
@@ -220,20 +182,67 @@ class Solver:
                     return losses.spec_loss(desc, spec.loss_slices,
                                             spec.margin)
 
-                loss, grads = jax.value_and_grad(loss_fn)(carry["params"])
-                updates, opt = self.tx.update(grads, carry["opt"],
-                                              carry["params"])
-                params = jax.tree.map(lambda p, u: p + u, carry["params"],
+                loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+                updates, opt = self.tx.update(grads, state["opt"],
+                                              state["params"])
+                params = jax.tree.map(lambda p, u: p + u, state["params"],
                                       updates)
-                return {"params": params, "opt": opt, "key": key,
-                        "iter": carry["iter"] + 1}, loss
+                new_state = {"params": params, "opt": opt, "key": key,
+                             "iter": state["iter"] + 1}
+                return new_state, loss
 
-            state, ls = jax.lax.scan(body, state, jnp.arange(n_iters))
-            return state, ls.mean()
+            self._steps["step"] = jax.jit(step, donate_argnums=(0,))
+        jitted = self._steps["step"]
 
-        jitted = jax.jit(epoch, donate_argnums=(0,))
-        self._steps[key_] = jitted
-        return jitted
+        def run(state, data, knn_tables, it):
+            return jitted(state, data, knn_tables, it,
+                          jnp.asarray(bootstrapping))
+        return run
+
+    def _train_epoch(self, bootstrapping: bool):
+        """A whole epoch as ONE compiled program (lax.scan over the step).
+
+        One dispatch per epoch instead of per iteration: on a tunneled or
+        congested link the per-call latency otherwise dominates the
+        ~10-60 ms step.  Like _train_step, both bootstrapping modes share
+        one program via a traced flag.  Returns (state, mean_loss)."""
+        if "epoch" not in self._steps:
+            spec = self.spec
+            n_iters = self.epoch_iter
+
+            def epoch(state, data, knn_tables, boot):
+                def body(carry, it):
+                    key, kb = jax.random.split(carry["key"])
+                    batch = self._build_batch(kb, it, data, boot,
+                                              knn_tables)
+                    batch = self._shard_batch(batch)
+
+                    def loss_fn(params):
+                        desc = apply(params, spec, batch,
+                                     compute_dtype=self.compute_dtype,
+                                     precision=self.precision)
+                        return losses.spec_loss(desc, spec.loss_slices,
+                                                spec.margin)
+
+                    loss, grads = jax.value_and_grad(loss_fn)(
+                        carry["params"])
+                    updates, opt = self.tx.update(grads, carry["opt"],
+                                                  carry["params"])
+                    params = jax.tree.map(lambda p, u: p + u,
+                                          carry["params"], updates)
+                    return {"params": params, "opt": opt, "key": key,
+                            "iter": carry["iter"] + 1}, loss
+
+                state, ls = jax.lax.scan(body, state, jnp.arange(n_iters))
+                return state, ls.mean()
+
+            self._steps["epoch"] = jax.jit(epoch, donate_argnums=(0,))
+        jitted = self._steps["epoch"]
+
+        def run(state, data, knn_tables):
+            return jitted(state, data, knn_tables,
+                          jnp.asarray(bootstrapping))
+        return run
 
     # --------------------------------------------------------------- kNN
     def compute_knn(self, params) -> None:

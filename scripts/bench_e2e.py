@@ -44,7 +44,8 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
     import jax.numpy as jnp
 
     from pose3d_tpu.config import Config
-    from pose3d_tpu.data.dataset import DeviceData, create_synth_samples
+    from pose3d_tpu.data.dataset import (DeviceData,
+                                         create_synth_samples_pair)
     from pose3d_tpu.data.benchmarks import LINEMOD_K
     from pose3d_tpu.eval import evaluator
     from pose3d_tpu.models import NETWORKS
@@ -70,21 +71,31 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
     t0 = time.time()
     tmpl_p, tmpl_l, train_p, train_l = [], [], [], []
     n_views = 0
+    mesh_marks = []          # (views_so_far, elapsed) after each mesh
     for name, (kind, size, detail) in zip(names, shapes):
         mesh = make_test_mesh(kind, size, detail=detail)
         idx = cfg.model_index[name]
-        tmpl = create_synth_samples(mesh, LINEMOD_K, idx, 2, True,
-                                    to_host=False)
-        synth = create_synth_samples(mesh, LINEMOD_K, idx, train_subdiv,
-                                     True, to_host=False)
+        # one render invocation per mesh: shared probe + one compiled
+        # program (one chunk-count) + one overflow check
+        tmpl, synth = create_synth_samples_pair(
+            mesh, LINEMOD_K, idx, 2, train_subdiv, True, to_host=False)
         n_views += len(tmpl.patches) + len(synth.patches)
         tmpl_p.append(tmpl.patches)
         tmpl_l.append(tmpl.labels)
         train_p.append(synth.patches)
         train_l.append(synth.labels)
+        mesh_marks.append((n_views, time.time() - t0))
         print(f"  {name}: {len(tmpl.patches)}+{len(synth.patches)} views "
               f"({time.time()-t0:.0f}s)", flush=True)
     gen_s = time.time() - t0
+    # steady-state rate excludes the first mesh: a fresh process pays a
+    # one-time ~1-2 min device/tunnel warm-up + per-program executable
+    # load there, amortized over any real multi-dataset run
+    if len(mesh_marks) > 1:
+        gen_steady = ((n_views - mesh_marks[0][0])
+                      / max(gen_s - mesh_marks[0][1], 1e-9))
+    else:
+        gen_steady = n_views / max(gen_s, 1e-9)
 
     t0 = time.time()
     # bf16 sample storage halves resident HBM: the 15-object subdiv-3 set
@@ -149,6 +160,7 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
         "train_subdiv": train_subdiv,
         "gen_seconds": round(gen_s, 1),
         "gen_views_per_s": round(n_views / max(gen_s, 1e-9), 2),
+        "gen_views_per_s_steady": round(gen_steady, 2),
         "train_seconds": round(train_s, 1), "eval_seconds": round(eval_s, 1),
         "train_iters": iters,
         "train_samples_per_s": round(iters * 300 / max(train_s, 1e-9), 1),

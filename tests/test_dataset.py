@@ -130,3 +130,23 @@ def test_batcher_bootstrapping_tables(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ix["pusher2_obj"]), 1 - obj)
     np.testing.assert_array_equal(np.asarray(ix["pusher2_pose"]),
                                   np.full_like(obj, 2))
+
+
+def test_synth_samples_pair_matches_separate_calls():
+    """create_synth_samples_pair (one render invocation, shared probe /
+    program / overflow check) must produce exactly the two sets the
+    separate calls produce."""
+    import numpy as np
+    from pose3d_tpu.data.benchmarks import LINEMOD_K
+    from pose3d_tpu.data.dataset import (create_synth_samples,
+                                         create_synth_samples_pair)
+    from pose3d_tpu.render import make_test_mesh
+
+    mesh = make_test_mesh("cube", 0.1)
+    a = create_synth_samples(mesh, LINEMOD_K, 3, 0, True)
+    b = create_synth_samples(mesh, LINEMOD_K, 3, 1, True)
+    pa, pb = create_synth_samples_pair(mesh, LINEMOD_K, 3, 0, 1, True)
+    np.testing.assert_array_equal(pa.patches, a.patches)
+    np.testing.assert_array_equal(pa.labels, a.labels)
+    np.testing.assert_array_equal(pb.patches, b.patches)
+    np.testing.assert_array_equal(pb.labels, b.labels)
