@@ -67,6 +67,14 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
                  num_bootstrapping_rounds=1, log_epoch=10**9,
                  batch_size=300)
 
+    # one-time device/tunnel init: the FIRST dispatch of a process through
+    # the tunnel can stall minutes (observed 40 s - 21 min, independent of
+    # the program).  Pay it before the clock — it is process init, not
+    # generation; per-phase rates below would otherwise measure tunnel
+    # weather.  (gen_views_per_s_steady additionally excludes the first
+    # mesh's per-program executable loads.)
+    jnp.zeros((8, 128)).sum().block_until_ready()
+
     # ---- generation: straight to device tensors
     t0 = time.time()
     tmpl_p, tmpl_l, train_p, train_l = [], [], [], []
