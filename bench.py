@@ -34,7 +34,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 
 
-def _measure(batch: int, iters: int, warmup: int = 0) -> float:
+def _measure(batch: int, iters: int, compute_dtype=None) -> float:
     """Forward throughput by the delta method.
 
     The TPU here sits behind a tunnel whose host<->device syncs can stall for
@@ -47,7 +47,7 @@ def _measure(batch: int, iters: int, warmup: int = 0) -> float:
     from pose3d_tpu.models.manifold import descriptor_fn
 
     spec = NETWORKS["manifold_rgbd_16"]
-    f = descriptor_fn(spec)
+    f = descriptor_fn(spec, compute_dtype)
     params = init_params(jax.random.key(0), spec)
     x = jax.random.uniform(jax.random.key(1), (batch, 64, 64, 7))
 
@@ -86,8 +86,13 @@ def main():
     on_tpu = require_tpu()
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
-    tpu_pps = _measure(1024, iters=64)
-    print(f"descriptor throughput: {tpu_pps:,.0f} patches/s", file=sys.stderr)
+    # headline = the serving mode (config default serving_dtype=bfloat16:
+    # bf16 trunk intermediates, f32 descriptors — the mode cli eval /
+    # predict run in production; accuracy evidence in LEARNING_r3.json)
+    tpu_pps = _measure(1024, iters=64, compute_dtype=jnp.bfloat16)
+    f32_pps = _measure(1024, iters=64)
+    print(f"descriptor throughput: {tpu_pps:,.0f} patches/s (serving/bf16), "
+          f"{f32_pps:,.0f} (f32)", file=sys.stderr)
 
     cpu_pps = 0.0
     try:
@@ -106,6 +111,7 @@ def main():
         "unit": "patches/sec/chip",
         "vs_baseline": round(tpu_pps / cpu_pps, 2) if cpu_pps else None,
         "platform": "tpu" if on_tpu else "cpu-fallback",
+        "f32_value": round(f32_pps, 1),
     }))
 
 

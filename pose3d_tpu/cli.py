@@ -141,7 +141,9 @@ def cmd_eval(args) -> int:
                   file=sys.stderr)
             return 1
         state = checkpoint.restore(found[0], solver.init_state())
-        fn = descriptor_fn(NETWORKS[cfg.net_name])
+        from pose3d_tpu.models.manifold import precision_from_config
+        fn = descriptor_fn(NETWORKS[cfg.net_name],
+                           *precision_from_config(cfg.serving_dtype))
 
     hist = evaluator.compute_histogram(
         fn, state["params"], data.tmpl_patches, data.tmpl_labels,

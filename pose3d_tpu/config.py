@@ -75,6 +75,12 @@ class Config:
     seed: int = 0                # jax.random root key
     data_parallel: int = 0       # 0 -> use all visible devices
     compute_dtype: str = "float32"
+    # evaluation/serving descriptor mode: bf16 trunk intermediates run ~2x
+    # the f32 descriptor throughput on TPU (HBM-bound conv1, see
+    # scripts/profile_forward.py) with protocol-identical retrieval
+    # (LEARNING_r3.json records the side-by-side histograms); descriptors
+    # themselves still come out float32.  Set "float32" to disable.
+    serving_dtype: str = "bfloat16"
     # icosphere subdivision for synthetic views (reference hardcodes 2/3,
     # src/datasetmanager.cpp:584-586); lower values for smoke tests
     template_subdiv: int = 2

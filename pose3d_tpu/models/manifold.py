@@ -138,7 +138,7 @@ def _act(spec: NetSpec, params: Dict, name: str, x: jnp.ndarray) -> jnp.ndarray:
         return jnp.maximum(x, 0.0)
     if spec.activation == "elu":
         return jnp.where(x > 0, x, jnp.expm1(x))
-    a = params[name]["a"]  # per-channel learned slope (last axis)
+    a = params[name]["a"].astype(x.dtype)  # per-channel learned slope
     return jnp.where(x > 0, x, a * x)
 
 
@@ -155,24 +155,86 @@ def _ceil_maxpool2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-          precision=None) -> jnp.ndarray:
+          precision=None, out_dtype=jnp.float32) -> jnp.ndarray:
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32, precision=precision)
-    return y + b
+        preferred_element_type=out_dtype, precision=precision)
+    return y + b.astype(out_dtype)
+
+
+def _pack_parity_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Repack a [K, K, C, O] stride-1 kernel so one stride-1 conv over the
+    2x2 space-to-depth input computes all four pool parities at once.
+
+    For parity offset a in {0, 1} the conv output at row 2i+a is
+    ``sum_p x[2i+a+p] w[p]``; substituting p = 2s + r - a turns it into a
+    conv over s2d rows (i+s) and s2d sub-channels r with taps
+    ``w[2s + r - a]`` (zero outside [0, K)).  Stacking (a, b) into the
+    output-channel axis yields an [S, S, 4C, 4O] kernel with S = K//2 + 1 —
+    the MXU lane dimension sees 4*O channels instead of O.
+    """
+    K, _, C, O = w.shape
+    S = K // 2 + 1
+    blocks = []
+    for a in (0, 1):
+        wa = jnp.pad(w, ((a, 2 * S - K - a), (0, 0), (0, 0), (0, 0)))
+        wa = wa.reshape(S, 2, K, C, O)          # [s, r_p, q, C, O]
+        for b in (0, 1):
+            wab = jnp.pad(wa, ((0, 0), (0, 0), (b, 2 * S - K - b),
+                               (0, 0), (0, 0)))
+            wab = wab.reshape(S, 2, S, 2, C, O)  # [s, r_p, t, r_q, C, O]
+            blocks.append(jnp.transpose(wab, (0, 2, 1, 3, 4, 5))
+                          .reshape(S, S, 4 * C, O))
+    return jnp.concatenate(blocks, axis=-1)     # out ch = (a*2 + b)*O + o
+
+
+def _conv_pool_fused(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                     precision=None, out_dtype=jnp.float32) -> jnp.ndarray:
+    """``_ceil_maxpool2(_conv(x, w, b))`` as ONE conv + a fused max epilogue.
+
+    The naive sequence materializes the [N, H-K+1, .., O] conv output (the
+    largest tensor in the trunk) and starves the MXU lane dimension at
+    O=16/7 channels.  Here the input is 2x2 space-to-depth'd, the kernel
+    parity-packed (`_pack_parity_kernel`), and the 2x2 pool becomes a max
+    over the four parity output channels; ceil-mode edge parities are
+    masked to -inf exactly like `_ceil_maxpool2`'s trailing -inf pad.
+    Bit-identical terms per multiply-add; only the reduction order differs.
+    """
+    N, H, W, C = x.shape
+    K, _, _, O = w.shape
+    Hc, Wc = H - K + 1, W - K + 1              # conv output size
+    Ph, Pw = (Hc + 1) // 2, (Wc + 1) // 2      # ceil-mode pooled size
+    S = K // 2 + 1
+    H2, W2 = Ph + S - 1, Pw + S - 1            # s2d rows the conv reads
+    xp = jnp.pad(x, ((0, 0), (0, 2 * H2 - H), (0, 2 * W2 - W), (0, 0)))
+    x2 = xp.reshape(N, H2, 2, W2, 2, C).transpose(0, 1, 3, 2, 4, 5) \
+           .reshape(N, H2, W2, 4 * C)
+    w2 = _pack_parity_kernel(w).astype(x2.dtype)
+    y = jax.lax.conv_general_dilated(
+        x2, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=out_dtype, precision=precision)
+    y = y.reshape(N, Ph, Pw, 2, 2, O)
+    # ceil-mode edge: pooled row Ph-1 only covers conv row 2(Ph-1) when Hc
+    # is odd — parity a=1 falls off the conv output and must lose the max.
+    if Hc % 2:
+        y = y.at[:, Ph - 1, :, 1, :, :].set(-jnp.inf)
+    if Wc % 2:
+        y = y.at[:, :, Pw - 1, :, 1, :].set(-jnp.inf)
+    return jnp.max(y, axis=(3, 4)) + b.astype(out_dtype)
 
 
 def _fc(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
-        precision=None) -> jnp.ndarray:
-    return jnp.matmul(x, w, preferred_element_type=jnp.float32,
-                      precision=precision) + b
+        precision=None, out_dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.matmul(x, w, preferred_element_type=out_dtype,
+                      precision=precision) + b.astype(out_dtype)
 
 
 def apply(params: Dict, spec: NetSpec, patches: jnp.ndarray,
           *, bin_head: bool | None = None,
           compute_dtype: jnp.dtype | None = None,
-          precision=None) -> jnp.ndarray:
+          precision=None, fused_stem: bool = False) -> jnp.ndarray:
     """Forward pass.
 
     patches [N, 64, 64, 7] (or already channel-selected [N, 64, 64, C_in])
@@ -194,18 +256,34 @@ def apply(params: Dict, spec: NetSpec, patches: jnp.ndarray,
     def cast(v):
         return v.astype(compute_dtype) if compute_dtype is not None else v
 
+    # In bf16 mode the conv/fc1 outputs stay bf16 too: the trunk's big
+    # intermediates are what saturate HBM bandwidth (conv1's [N,57,57,16]
+    # activation is 4x the input), and the MXU accumulates in f32 either
+    # way.  The final descriptor matmul still emits f32.
+    mid = compute_dtype if compute_dtype is not None else jnp.float32
     x = cast(x)
-    x = _act(spec, params, "prelu1", _ceil_maxpool2(
-        _conv(x, cast(params["conv1"]["w"]), params["conv1"]["b"],
-              precision)))
-    x = _act(spec, params, "prelu2", _ceil_maxpool2(
-        _conv(cast(x), cast(params["conv2"]["w"]), params["conv2"]["b"],
-              precision)))
+    if fused_stem:
+        # conv+pool fused via parity packing (same terms, 4x the MXU lane
+        # occupancy, no full-resolution conv intermediate in HBM)
+        x = _act(spec, params, "prelu1", _conv_pool_fused(
+            x, cast(params["conv1"]["w"]), params["conv1"]["b"], precision,
+            out_dtype=mid))
+        x = _act(spec, params, "prelu2", _conv_pool_fused(
+            cast(x), cast(params["conv2"]["w"]), params["conv2"]["b"],
+            precision, out_dtype=mid))
+    else:
+        x = _act(spec, params, "prelu1", _ceil_maxpool2(
+            _conv(x, cast(params["conv1"]["w"]), params["conv1"]["b"],
+                  precision, out_dtype=mid)))
+        x = _act(spec, params, "prelu2", _ceil_maxpool2(
+            _conv(cast(x), cast(params["conv2"]["w"]), params["conv2"]["b"],
+                  precision, out_dtype=mid)))
     # Flatten in CHW order so imported Caffe fc weights line up.
     n = x.shape[0]
     x = jnp.transpose(x, (0, 3, 1, 2)).reshape(n, -1)
     x = _act(spec, params, "prelu3", _fc(cast(x), cast(params["fc1"]["w"]),
-                                         params["fc1"]["b"], precision))
+                                         params["fc1"]["b"], precision,
+                                         out_dtype=mid))
     x = _fc(cast(x), cast(params["fc2"]["w"]), params["fc2"]["b"], precision)
 
     use_head = spec.bin_head if bin_head is None else bin_head

@@ -67,10 +67,11 @@ def main(batch=1024):
 
     for dtype, dlabel in [(None, "f32/bf16-mxu"),
                           (jnp.bfloat16, "bf16        ")]:
-        dt = timed(lambda p, v: apply(p, spec, v, compute_dtype=dtype),
-                   params, x)
-        print(f"apply {dlabel} {dt*1e3:7.3f} ms  "
-              f"{batch/dt:,.0f} patches/s", flush=True)
+        for fused in (False, True):
+            dt = timed(lambda p, v: apply(p, spec, v, compute_dtype=dtype,
+                                          fused_stem=fused), params, x)
+            print(f"apply {dlabel} fused={int(fused)} {dt*1e3:7.3f} ms  "
+                  f"{batch/dt:,.0f} patches/s", flush=True)
 
     # isolated conv stages
     c1 = lambda p, v: M._act(spec, p, "prelu1", M._ceil_maxpool2(
@@ -87,12 +88,14 @@ def main(batch=1024):
     # training step proxy: loss grad through the trunk
     from pose3d_tpu.models import losses
 
-    def loss(p, v):
-        return losses.spec_loss(apply(p, spec, v), spec.loss_slices)
-    g = jax.grad(loss)
     xb = jax.random.uniform(jax.random.key(3), (300, 64, 64, 4))
-    dt = timed(lambda p, v: g(p, v)["fc1"]["w"], params, xb)
-    print(f"grad (300) {dt*1e3:7.3f} ms", flush=True)
+    for fused in (False, True):
+        def loss(p, v, fused=fused):
+            return losses.spec_loss(apply(p, spec, v, fused_stem=fused),
+                                    spec.loss_slices)
+        g = jax.grad(loss)
+        dt = timed(lambda p, v: g(p, v)["fc1"]["w"], params, xb)
+        print(f"grad (300) fused={int(fused)} {dt*1e3:7.3f} ms", flush=True)
 
 
 if __name__ == "__main__":

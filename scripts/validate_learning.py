@@ -37,15 +37,24 @@ def main(base: str = "/tmp/p3d_validate",
     data_dir = os.path.join(base, "data")
     if not os.path.exists(os.path.join(data_dir, "cube.ply")):
         print("generating disk fixture...", flush=True)
-        make_linemod_fixture(data_dir, n_frames=10)
+        # enough real frames that the ceil-half template-bucket split
+        # (dataset.py:596) leaves a test set with real mass — 10 frames
+        # degenerates to ~1 test patch/object, meaningless histogram
+        make_linemod_fixture(data_dir, n_frames=48)
     cfgp = os.path.join(base, "config.ini")
-    write_fixture_config(cfgp, data_dir, os.path.join(base, "h5"),
+    # h5 caches are keyed by model name like the reference's (a config
+    # subdiv change with stale caches silently reuses them) — keep this
+    # protocol's caches in a subdiv-tagged dir
+    write_fixture_config(cfgp, data_dir, os.path.join(base, "h5_s22"),
                          os.path.join(base, "out"))
     cfg = load_config(cfgp)
     # richer spheres + a real schedule
     import dataclasses
+    # subdiv-2 templates (623 views): with subdiv-1's 162-view sphere the
+    # pose-oracle floor median alone is ~32 deg, so the <20-deg gate can
+    # fail on geometry while retrieval is perfect (median == floor)
     cfg = dataclasses.replace(
-        cfg, template_subdiv=1, training_subdiv=2, num_training_rounds=8,
+        cfg, template_subdiv=2, training_subdiv=2, num_training_rounds=8,
         num_bootstrapping_rounds=2, num_epochs=1, log_epoch=2,
         batch_size=300, random_background=1)
 
@@ -73,6 +82,19 @@ def main(base: str = "/tmp/p3d_validate",
     for n, v in zip(names, hist):
         print(f"  {n:>12}: {v:.3f}")
 
+    # the bf16 serving mode (trunk intermediates in bf16, ~2x descriptor
+    # throughput on TPU — scripts/profile_forward.py) must retrieve the
+    # same poses: record its histogram side by side as evidence
+    import jax.numpy as _jnp
+    fn16 = descriptor_fn(NETWORKS[cfg.net_name],
+                         compute_dtype=_jnp.bfloat16)
+    hist16 = evaluator.compute_histogram(
+        fn16, state["params"], data.tmpl_patches, data.tmpl_labels,
+        data.test_patches, data.test_labels, cfg.rot_inv, k=cfg.knn)
+    print("TEST histogram (bf16 serving mode):")
+    for n, v in zip(names, hist16):
+        print(f"  {n:>12}: {v:.3f}")
+
     local_index = {m: i for i, m in enumerate(cfg.used_models)}
     conf = evaluator.compute_confusion_matrix(
         fn, state["params"], data.tmpl_patches, data.tmpl_labels,
@@ -89,9 +111,11 @@ def main(base: str = "/tmp/p3d_validate",
         d = Q.pairwise_angular_distance(data.test_labels[o, :, 1:5],
                                         data.tmpl_labels[o, :, 1:5])
         floors.append(np.degrees(np.asarray(jnp.min(d, axis=1))))
-    floor_med = float(np.median(np.concatenate(floors)))
-    print(f"pose-oracle floor median: {floor_med:.1f} deg "
-          f"(achieved median {hist[-1]:.1f})")
+    all_floors = np.concatenate(floors)
+    floor_med = float(np.median(all_floors))
+    oracle_lt20 = float(np.mean(all_floors < 20.0))
+    print(f"pose-oracle floor median: {floor_med:.1f} deg, oracle <20deg "
+          f"mass {oracle_lt20:.3f} (achieved median {hist[-1]:.1f})")
 
     # hard gate (VERDICT r2 item 8): classification solved, <20 deg mass
     # dominant, median within 2x of the oracle floor
@@ -110,10 +134,15 @@ def main(base: str = "/tmp/p3d_validate",
     import jax
     summary = {
         "platform": jax.default_backend(),
-        "protocol": "procedural LineMOD fixture, subdiv 1/2, 8+2 rounds",
+        "protocol": "procedural LineMOD fixture, 48 real frames/object, "
+                    "subdiv 2/2, 8+2 rounds",
+        "test_patches": int(np.prod(data.test_patches.shape[:2])),
         "train_iters": int(state["iter"]),
         "histogram": {n: round(float(v), 4) for n, v in zip(names, hist)},
+        "histogram_bf16_serving": {n: round(float(v), 4)
+                                   for n, v in zip(names, hist16)},
         "pose_oracle_floor_median_deg": round(floor_med, 2),
+        "pose_oracle_lt20_mass": round(oracle_lt20, 4),
         "thresholds": THRESHOLDS,
         "checks": {k: {"value": round(v, 4), "pass": bool(p)}
                    for k, (v, p) in checks.items()},

@@ -37,8 +37,12 @@ def make_linemod_fixture(root: str, models=("cube", "tetra"),
         d = os.path.join(root, name)
         os.makedirs(os.path.join(d, "inp"), exist_ok=True)
 
-        poses, _ = create_view_poses(1, (z, 1.0, z), (0.0, 53.0,
-                                                      n_frames * 53.0 - 1),
+        # 3 inplane rots per sphere vertex (vertex-major enumeration), all
+        # inside the +-45 deg template inplane range: n_frames frames then
+        # span ceil(n/3) distinct viewpoints instead of one vertex spinning
+        # through 53-degree steps no template can match (which floors the
+        # pose-oracle itself at ~27 deg median)
+        poses, _ = create_view_poses(1, (z, 1.0, z), (-45.0, 37.0, 45.0),
                                      True)
         poses = poses[:n_frames]
         for i, T in enumerate(poses):

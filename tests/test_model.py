@@ -104,3 +104,42 @@ def test_binarization_loss_saturation_term():
     sat = 8 * 0.25
     trip = 3.0  # d_pos = 0, all ratios 0 -> 3*max(0,1-0) per group
     assert abs(v - (sat + trip)) < 1e-5
+
+
+@pytest.mark.parametrize("name", ["manifold_rgbd_16", "manifold_rgbdnor_16"])
+def test_fused_stem_matches_reference_path(name):
+    # the parity-packed conv+pool stem computes the same multiply-add terms
+    # as conv -> ceil-maxpool, only reassociated: fwd and grads must agree
+    # to f32 reassociation tolerance (covers PReLU and ELU trunks, C=4/7)
+    spec = NETWORKS[name]
+    params = init_params(jax.random.key(1), spec)
+    x = _patches(5, seed=3)
+
+    a = apply(params, spec, x, precision="highest", fused_stem=False)
+    b = apply(params, spec, x, precision="highest", fused_stem=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(p, fused):
+        return jnp.sum(apply(p, spec, x, precision="highest",
+                             fused_stem=fused) ** 2)
+    ga = jax.grad(lambda p: loss(p, False))(params)
+    gb = jax.grad(lambda p: loss(p, True))(params)
+    for u, v in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        scale = float(jnp.max(jnp.abs(u))) + 1e-12
+        np.testing.assert_allclose(np.asarray(u) / scale,
+                                   np.asarray(v) / scale,
+                                   rtol=5e-5, atol=5e-5)
+
+
+def test_bf16_mode_keeps_f32_descriptors():
+    # bf16 compute mode streams the trunk intermediates at 2 bytes but the
+    # descriptor head still accumulates/emits f32 for mining stability
+    spec = NETWORKS["manifold_rgbd_16"]
+    params = init_params(jax.random.key(0), spec)
+    d = apply(params, spec, _patches(6), compute_dtype=jnp.bfloat16)
+    assert d.dtype == jnp.float32
+    ref = apply(params, spec, _patches(6))
+    err = float(jnp.max(jnp.abs(d - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+    assert err < 0.05, err  # bf16 noise, not garbage
