@@ -16,6 +16,7 @@ Key invariants (validated in tests/test_sphere.py):
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Tuple
 
 import numpy as np
@@ -134,6 +135,37 @@ def _arange_inclusive(start: float, step: float, stop: float) -> np.ndarray:
     return np.asarray(vals, dtype=np.float64)
 
 
+@lru_cache(maxsize=16)
+def _create_view_poses_cached(subdiv: int, scales, inplane_rots,
+                              skip_lower_hemisphere: bool
+                              ) -> Tuple[np.ndarray, np.ndarray]:
+    rots = _arange_inclusive(*inplane_rots)
+    scas = _arange_inclusive(*scales)
+    sphere = icosphere(subdiv)
+
+    keep = sphere[:, 2] >= 0 if skip_lower_hemisphere else np.ones(
+        len(sphere), dtype=bool)
+    # NOTE: reference skips (z < 0), i.e. keeps z == 0 ring.
+    kept = sphere[keep]
+
+    look = lookat_rotation(kept)                       # [K, 3, 3]
+    rotz = inplane_rotz(rots)                          # [R, 3, 3]
+
+    # reference enumeration order scale -> vertex -> inplane as one
+    # broadcast batch (a Python triple loop here costs seconds per call at
+    # subdiv 3 — it used to be 40% of warm per-mesh generation time)
+    S, Kn, R = len(scas), len(kept), len(rots)
+    rk = np.einsum("rab,kbc->krac", rotz.astype(np.float64),
+                   look.astype(np.float64)).astype(np.float32)  # [K, R, 3, 3]
+    T = np.zeros((S, Kn, R, 4, 4), np.float32)
+    T[..., :3, :3] = rk[None]
+    T[..., 2, 3] = np.asarray(scas, np.float32)[:, None, None]
+    T[..., 3, 3] = 1.0
+    verts = np.broadcast_to(kept[None, :, None, :],
+                            (S, Kn, R, 3)).reshape(-1, 3).copy()
+    return T.reshape(-1, 4, 4), verts
+
+
 def create_view_poses(subdiv: int,
                       scales: Tuple[float, float, float] = (0.4, 1.1, 1.0),
                       inplane_rots: Tuple[float, float, float] = (-45, 15, 45),
@@ -147,27 +179,12 @@ def create_view_poses(subdiv: int,
       poses  float32 [V, 4, 4] — world->cam isometries
              (R = Rz(rot) @ lookat(vertex), t = (0, 0, scale));
       verts  float32 [V, 3]   — the sphere vertex of each view.
+
+    Memoized on the (hashable) arguments — every mesh of a dataset
+    enumerates the same sphere, so the ~3k-pose batch is built once per
+    process.  Callers get defensive copies.
     """
-    rots = _arange_inclusive(*inplane_rots)
-    scas = _arange_inclusive(*scales)
-    sphere = icosphere(subdiv)
-
-    keep = sphere[:, 2] >= 0 if skip_lower_hemisphere else np.ones(
-        len(sphere), dtype=bool)
-    # NOTE: reference skips (z < 0), i.e. keeps z == 0 ring.
-    kept = sphere[keep]
-
-    look = lookat_rotation(kept)                       # [K, 3, 3]
-    rotz = inplane_rotz(rots)                          # [R, 3, 3]
-
-    poses = []
-    view_verts = []
-    for sc in scas:
-        for k in range(len(kept)):
-            for r in range(len(rots)):
-                T = np.eye(4, dtype=np.float32)
-                T[:3, :3] = rotz[r] @ look[k]
-                T[:3, 3] = [0.0, 0.0, sc]
-                poses.append(T)
-                view_verts.append(kept[k])
-    return np.stack(poses), np.stack(view_verts)
+    poses, verts = _create_view_poses_cached(
+        int(subdiv), tuple(float(s) for s in scales),
+        tuple(float(r) for r in inplane_rots), bool(skip_lower_hemisphere))
+    return poses.copy(), verts.copy()

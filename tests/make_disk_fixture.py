@@ -37,12 +37,16 @@ def make_linemod_fixture(root: str, models=("cube", "tetra"),
         d = os.path.join(root, name)
         os.makedirs(os.path.join(d, "inp"), exist_ok=True)
 
-        # 3 inplane rots per sphere vertex (vertex-major enumeration), all
-        # inside the +-45 deg template inplane range: n_frames frames then
-        # span ceil(n/3) distinct viewpoints instead of one vertex spinning
-        # through 53-degree steps no template can match (which floors the
-        # pose-oracle itself at ~27 deg median)
-        poses, _ = create_view_poses(1, (z, 1.0, z), (-45.0, 37.0, 45.0),
+        # 11 inplane rots per sphere vertex (vertex-major enumeration),
+        # inside the +-45 deg template range, at a 9-degree step so values
+        # PAIR UP on the templates' 15-degree inplane grid (-36 and -27
+        # both land nearest -30, etc).  The ceil-half split buckets real
+        # frames by nearest template (dataset.py:596) — singleton buckets
+        # all go to train, so paired buckets are what gives the fixture a
+        # test set; and pose-oracle floors stay <= ~7 deg, so the <20-deg
+        # protocol gate measures learning, not fixture geometry (a
+        # 53-degree sweep here once floored the oracle itself at 27 deg)
+        poses, _ = create_view_poses(1, (z, 1.0, z), (-45.0, 9.0, 45.0),
                                      True)
         poses = poses[:n_frames]
         for i, T in enumerate(poses):
