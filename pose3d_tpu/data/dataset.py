@@ -277,6 +277,45 @@ def _pow2_at_least(n: int, floor: int) -> int:
     return max(floor, 1 << (max(n, 1) - 1).bit_length())
 
 
+def _patch_from_slots(dep, slot, pair_faces, attrs, texture, textured,
+                      oxw, oyw, z, fx, fy):
+    """Patch extraction straight from (depth, winner slots) of ONE view.
+
+    Evaluates face colors ONLY at the <=(2*64)^2 resample tap pixels of
+    the patch instead of the full window: the full-window color attribute
+    epilogue was ~60%% of fused generation-program time
+    (PROFILE_GEN_r3.json fused 1.64 vs z-buffer ~0.5 ms/view) while the
+    64x64 bilinear resample reads at most 128x128 source pixels.  Color
+    needs no halo (unlike normals, whose depth stencil keeps running on
+    the full window — it is cheap VPU work).  Identical to rendering the
+    full window and calling sample_patch up to one f32 ulp of fma
+    contraction, with the depth channel (the background-mask bit) exact
+    (tests/test_rasterizer_pallas::test_slot_sparse_patch_bit_identical).
+    """
+    from pose3d_tpu.ops.patch import combine_patch_taps, patch_tap_grids
+    from pose3d_tpu.render.rasterizer_pallas import eval_color_taps
+    from pose3d_tpu.render.texture import sample_texture_nearest
+    H, W = dep.shape
+    gx0, gx1, ax, gy0, gy1, ay, gxn, gyn = patch_tap_grids(
+        H, W, oxw, oyw, z, fx, fy)
+    ys = jnp.concatenate([gy0, gy1])
+    xs = jnp.concatenate([gx0, gx1])
+    dep_sub = dep[ys][:, xs]
+    slot_sub = slot[ys][:, xs]
+    xw = xs.astype(jnp.float32) + 0.5 - W * 0.5   # window-centered coords,
+    yw = ys.astype(jnp.float32) + 0.5 - H * 0.5   # as the kernel saw them
+    col_sub = eval_color_taps(slot_sub, dep_sub, pair_faces, attrs, xw, yw)
+    if textured:
+        rgb = sample_texture_nearest(col_sub[..., 0], col_sub[..., 1],
+                                     texture)
+        col_sub = jnp.where((dep_sub > 0.0)[..., None], rgb, 0.0)
+    nor = depth2normals(dep, fx, fy)
+    nor_sub = nor[ys][:, xs]
+    six_sub = jnp.concatenate([col_sub * 255.0, nor_sub], axis=-1)
+    d_near = dep[gyn[:, None], gxn[None, :]]
+    return combine_patch_taps(six_sub, d_near, ax, ay, z)
+
+
 @lru_cache(maxsize=32)
 def _render_program(backend: str, textured: bool, sw: int, sh: int,
                     x0: int, y0: int, tile: int, capacity: int,
@@ -303,7 +342,7 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
               global_cap, fx, fy)
     from pose3d_tpu.render.rasterizer_tiled import render_view_tiled
     from pose3d_tpu.render.rasterizer_pallas import \
-        render_views_tiled_pallas
+        render_views_slots_pallas
     from pose3d_tpu.render.texture import sample_texture_nearest
 
     def _post(col, dep, texture, oxw, oyw, z):
@@ -316,17 +355,24 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
                             fx=fx, fy=fy)
 
     # Pallas inner loop with empty-chunk skipping on TPU, batched over the
-    # view axis (one vmapped sort/bin/pack + one kernel grid per chunk);
+    # view axis (one vmapped sort/bin/pack + one kernel grid per chunk) and
+    # the slot-sparse patch path (colors evaluated only at the patch taps);
     # interpret mode is too slow for CPU runs, which take the XLA path
     if backend == "tpu":
-        def render_chunk(verts, faces, colors, K, pose_chunk):
-            return render_views_tiled_pallas(
+        def chunk_patches(verts, faces, colors, K, pose_chunk, texture,
+                          oxw, oyw, z):
+            dep, slot, pf, attrs, ovf = render_views_slots_pallas(
                 verts, faces, colors, pose_chunk, K, width=sw, height=sh,
                 x0=x0, y0=y0, tile=tile, capacity=capacity,
-                face_chunk=256, global_capacity=global_cap,
-                return_overflow=True)
+                face_chunk=256, global_capacity=global_cap)
+            pats = jax.vmap(
+                lambda d, s, p, a: _patch_from_slots(
+                    d, s, p, a, texture, textured, oxw, oyw, z, fx, fy)
+            )(dep, slot, pf, attrs)
+            return pats, ovf
     else:
-        def render_chunk(verts, faces, colors, K, pose_chunk):
+        def chunk_patches(verts, faces, colors, K, pose_chunk, texture,
+                          oxw, oyw, z):
             def one(pose):
                 return render_view_tiled(verts, faces, colors, pose, K,
                                          width=sw, height=sh, x0=x0, y0=y0,
@@ -335,16 +381,16 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
                                          global_capacity=global_cap,
                                          return_overflow=True)
             col, dep, ovf = jax.lax.map(one, pose_chunk)
-            return col, dep, jnp.any(ovf)
+            pats = jax.vmap(
+                lambda c, d: _post(c, d, texture, oxw, oyw, z))(col, dep)
+            return pats, jnp.any(ovf)
 
     @jax.jit
     def render_all(verts, faces, colors, K, pose_chunks, texture,
                    oxw, oyw, z):
         def chunk(pc):
-            cols, deps, ovf = render_chunk(verts, faces, colors, K, pc)
-            return jax.vmap(
-                lambda c, d: _post(c, d, texture, oxw, oyw, z))(cols,
-                                                                deps), ovf
+            return chunk_patches(verts, faces, colors, K, pc, texture,
+                                 oxw, oyw, z)
         patches, ovfs = jax.lax.map(chunk, pose_chunks)
         return patches, jnp.any(ovfs)
 

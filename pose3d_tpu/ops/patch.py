@@ -68,6 +68,73 @@ def _nearest_axis(out_size: int, src_size: jnp.ndarray, origin: jnp.ndarray,
     return jnp.clip(origin + sx, 0, limit - 1)
 
 
+def patch_tap_grids(H: int, W: int, center_x: jnp.ndarray,
+                    center_y: jnp.ndarray, z: jnp.ndarray,
+                    fx: float, fy: float, m: float = METRIC_CROP,
+                    out_size: int = PATCH_SIZE):
+    """Source tap indices/weights of the dynamic-crop resample.
+
+    Returns (gx0, gx1, ax, gy0, gy1, ay, gxn, gyn): the bilinear corner
+    indices + fractional weights per axis and the nearest-neighbor depth
+    indices, all [out_size] int32/float32 indexing the full [H, W] frame.
+    Shared by sample_patch (dense gathers) and the slot-sparse generation
+    path (dataset._patch_from_slots), which evaluates face colors ONLY at
+    these taps.
+    """
+    z = z.astype(jnp.float32)
+    screen_w = (fx * m / z).astype(jnp.int32)   # C float->int truncation
+    screen_h = (fy * m / z).astype(jnp.int32)
+
+    cx = center_x.astype(jnp.int32)
+    cy = center_y.astype(jnp.int32)
+    # Reference clamp order: floor at 0 first, then the upper bound (which
+    # wins if the window is larger than the image).
+    cut_x = jnp.minimum(jnp.maximum(cx - screen_w // 2, 0), W - screen_w - 1)
+    cut_y = jnp.minimum(jnp.maximum(cy - screen_h // 2, 0), H - screen_h - 1)
+
+    gx0, gx1, ax = _bilinear_axis(out_size, screen_w, cut_x, W)
+    gy0, gy1, ay = _bilinear_axis(out_size, screen_h, cut_y, H)
+    gxn = _nearest_axis(out_size, screen_w, cut_x, W)
+    gyn = _nearest_axis(out_size, screen_h, cut_y, H)
+    return gx0, gx1, ax, gy0, gy1, ay, gxn, gyn
+
+
+def combine_patch_taps(six_sub: jnp.ndarray, d_near: jnp.ndarray,
+                       ax: jnp.ndarray, ay: jnp.ndarray, z: jnp.ndarray,
+                       m: float = METRIC_CROP) -> jnp.ndarray:
+    """Bilinear/depth combine over PRE-GATHERED taps.
+
+    six_sub [2n, 2n, 6] holds (255*BGR, normals) gathered at rows
+    concat(gy0, gy1) x cols concat(gx0, gx1) — so corner p00 is the
+    [:n, :n] quadrant, p01 [:n, n:], p10 [n:, :n], p11 [n:, n:];
+    d_near [n, n] is the nearest-gathered depth.  Identical arithmetic to
+    sample_patch after its gathers.
+    """
+    n = ax.shape[0]
+    p00 = six_sub[:n, :n]
+    p01 = six_sub[:n, n:]
+    p10 = six_sub[n:, :n]
+    p11 = six_sub[n:, n:]
+    wx = ax[None, :, None]
+    wy = ay[:, None, None]
+    bil = ((p00 * (1 - wx) + p01 * wx) * (1 - wy) +
+           (p10 * (1 - wx) + p11 * wx) * wy)
+
+    rgb = bil[..., :3] / 255.0
+    nor = bil[..., 3:]
+
+    z = z.astype(jnp.float32)
+    dc = jnp.clip(d_near.astype(jnp.float32) - z, -m, m)
+    # (dc + m) first so the -m clip maps to an exact 0 — XLA's fma
+    # contraction of (dc/m + 1) * 0.5 leaves ~1e-8 residue, and background
+    # pixels must read exactly 0: that bit is the augmentation mask
+    # (reference src/bgfill.cpp:106).  The where() makes it contraction-proof.
+    d = (dc + m) * (0.5 / m)
+    d = jnp.where(dc <= -m, 0.0, d)
+
+    return jnp.concatenate([rgb, d[..., None], nor], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("fx", "fy", "m", "out_size"))
 def sample_patch(color: jnp.ndarray, depth: jnp.ndarray, normals: jnp.ndarray,
                  center_x: jnp.ndarray, center_y: jnp.ndarray, z: jnp.ndarray,
@@ -80,47 +147,18 @@ def sample_patch(color: jnp.ndarray, depth: jnp.ndarray, normals: jnp.ndarray,
     Returns [out_size, out_size, 7] float32.
     """
     H, W = depth.shape
-    z = z.astype(jnp.float32)
-    screen_w = (fx * m / z).astype(jnp.int32)   # C float->int truncation
-    screen_h = (fy * m / z).astype(jnp.int32)
-
-    cx = center_x.astype(jnp.int32)
-    cy = center_y.astype(jnp.int32)
-    # Reference clamp order: floor at 0 first, then the upper bound (which
-    # wins if the window is larger than the image).
-    cut_x = jnp.minimum(jnp.maximum(cx - screen_w // 2, 0), W - screen_w - 1)
-    cut_y = jnp.minimum(jnp.maximum(cy - screen_h // 2, 0), H - screen_h - 1)
+    gx0, gx1, ax, gy0, gy1, ay, gxn, gyn = patch_tap_grids(
+        H, W, center_x, center_y, z, fx, fy, m, out_size)
 
     # Bilinear path: BGR + normals share gather indices -> stack to 6 ch.
-    gx0, gx1, ax = _bilinear_axis(out_size, screen_w, cut_x, W)
-    gy0, gy1, ay = _bilinear_axis(out_size, screen_h, cut_y, H)
     six = jnp.concatenate([color.astype(jnp.float32), normals], axis=-1)
-
-    p00 = six[gy0[:, None], gx0[None, :]]
-    p01 = six[gy0[:, None], gx1[None, :]]
-    p10 = six[gy1[:, None], gx0[None, :]]
-    p11 = six[gy1[:, None], gx1[None, :]]
-    wx = ax[None, :, None]
-    wy = ay[:, None, None]
-    bil = ((p00 * (1 - wx) + p01 * wx) * (1 - wy) +
-           (p10 * (1 - wx) + p11 * wx) * wy)
-
-    rgb = bil[..., :3] / 255.0
-    nor = bil[..., 3:]
+    ys = jnp.concatenate([gy0, gy1])
+    xs = jnp.concatenate([gx0, gx1])
+    six_sub = six[ys[:, None], xs[None, :]]
 
     # Nearest path for depth, then demean/clamp/rescale (commutes with NN).
-    gxn = _nearest_axis(out_size, screen_w, cut_x, W)
-    gyn = _nearest_axis(out_size, screen_h, cut_y, H)
-    d = depth[gyn[:, None], gxn[None, :]].astype(jnp.float32)
-    dc = jnp.clip(d - z, -m, m)
-    # (dc + m) first so the -m clip maps to an exact 0 — XLA's fma
-    # contraction of (dc/m + 1) * 0.5 leaves ~1e-8 residue, and background
-    # pixels must read exactly 0: that bit is the augmentation mask
-    # (reference src/bgfill.cpp:106).  The where() makes it contraction-proof.
-    d = (dc + m) * (0.5 / m)
-    d = jnp.where(dc <= -m, 0.0, d)
-
-    return jnp.concatenate([rgb, d[..., None], nor], axis=-1)
+    d_near = depth[gyn[:, None], gxn[None, :]]
+    return combine_patch_taps(six_sub, d_near, ax, ay, z, m)
 
 
 @partial(jax.jit, static_argnames=("fx", "fy", "m", "out_size"))

@@ -264,6 +264,29 @@ def _make_pair_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
 
 
 
+def eval_color_taps(slot_taps, depth_taps, pair_faces, attrs, xw, yw):
+    """Affine color evaluation at a sparse grid of window pixels (one view).
+
+    Same per-pixel math as _pair_attribute_epilogue, but only at the
+    [n, m] tap grid whose window-centered coordinates are ``yw`` [n] rows
+    x ``xw`` [m] cols — the 64x64 patch resample reads at most
+    (2*64)^2 source pixels, ~5x fewer than the production window, and
+    the full-window epilogue was ~60%% of fused generation-program time
+    (PROFILE_GEN_r3.json: fused 1.64 vs kernel 0.5 ms/view).
+
+    slot_taps int32 [n, m]; depth_taps [n, m]; pair_faces [S];
+    attrs [F, 4, 3] affine rows (za, cb, cg, cr).  Returns [n, m, 3].
+    """
+    face = pair_faces[slot_taps.reshape(-1)]
+    a = attrs.reshape(-1, 12)[face].reshape(slot_taps.shape + (4, 3))
+    vals = (a[..., 0] * xw[None, :, None]
+            + a[..., 1] * yw[:, None, None] + a[..., 2])      # [n, m, 4]
+    zden = jnp.where(vals[..., 0] != 0.0, vals[..., 0], 1.0)
+    color = vals[..., 1:4] / zden[..., None]
+    covered = (depth_taps > 0.0)[..., None]
+    return jnp.where(covered, color, 0.0)
+
+
 def _pair_attribute_epilogue(depth, slot, pair_faces, attrs, width, height):
     """Per-pixel attribute evaluation for the pair-segment kernel: slot
     indexes the view's extended pair-face table directly (no per-tile
@@ -458,14 +481,15 @@ def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
                                    "face_chunk", "interpret",
-                                   "global_capacity", "return_overflow"))
-def _render_views_pairs(vertices, faces, colors, poses, K, x0s, y0s,
+                                   "global_capacity"))
+def _render_views_slots(vertices, faces, colors, poses, K, x0s, y0s,
                         width, height, tile, capacity, face_chunk,
-                        global_capacity, interpret,
-                        return_overflow: bool = False):
-    """Batched pair-segment Pallas rendering (traced per-view origins).
+                        global_capacity, interpret):
+    """Batched pair-segment z-buffer pass (traced per-view origins), no
+    color epilogue: returns (depth [V, h, w], slot [V, h, w],
+    pair_faces [V, S], attrs [V, F, 4, 3], overflow).
 
-    The kernel and epilogue only ever see window-centered coordinates
+    The kernel only ever sees window-centered coordinates
     (x0 - cx_shift == -width/2, a constant), so per-view origins cost
     nothing there; the origin enters solely through the projection shift
     inside the prepare, which traces fine.  One compiled program renders
@@ -490,15 +514,54 @@ def _render_views_pairs(vertices, faces, colors, poses, K, x0s, y0s,
     depth, slot = _run_pair_kernel(blocks, lo.reshape(-1), hi.reshape(-1),
                                    gcnt.reshape(-1), width, height, tile,
                                    fc, npc, gch, jseg, interpret)
+    # geometry dropped iff a tile's pair segment exceeds the chunk
+    # budget the kernel walks (jseg chunks cover >= cap faces from the
+    # aligned base) or the >2x2-tile population exceeds G
+    overflow = (jnp.max(hi - lo) > cap) | (jnp.max(gcnt) > G)
+    return depth, slot, pair_faces, attrs, overflow
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
+                                   "face_chunk", "interpret",
+                                   "global_capacity", "return_overflow"))
+def _render_views_pairs(vertices, faces, colors, poses, K, x0s, y0s,
+                        width, height, tile, capacity, face_chunk,
+                        global_capacity, interpret,
+                        return_overflow: bool = False):
+    """Batched pair-segment Pallas rendering with the full-window color
+    epilogue (see _render_views_slots for the split)."""
+    depth, slot, pair_faces, attrs, overflow = _render_views_slots(
+        vertices, faces, colors, poses, K, x0s, y0s, width, height, tile,
+        capacity, face_chunk, global_capacity, interpret)
     color = _pair_attribute_epilogue(depth, slot, pair_faces, attrs,
                                      width, height)
     if return_overflow:
-        # geometry dropped iff a tile's pair segment exceeds the chunk
-        # budget the kernel walks (jseg chunks cover >= cap faces from the
-        # aligned base) or the >2x2-tile population exceeds G
-        overflow = (jnp.max(hi - lo) > cap) | (jnp.max(gcnt) > G)
         return color, depth, overflow
     return color, depth
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "capacity",
+                                   "face_chunk", "interpret", "x0", "y0",
+                                   "global_capacity"))
+def render_views_slots_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
+                              colors: jnp.ndarray, poses: jnp.ndarray,
+                              K: jnp.ndarray, width: int, height: int,
+                              x0: int = 0, y0: int = 0, tile: int = 32,
+                              capacity: int = 1024, face_chunk: int = 128,
+                              global_capacity: int | None = None,
+                              interpret: bool = False):
+    """Batched z-buffer rendering WITHOUT the color epilogue.
+
+    Returns (depth [V, h, w], slot [V, h, w], pair_faces [V, S],
+    attrs [V, F, 4, 3], overflow).  Callers that consume color only at a
+    sparse pixel set (the 64x64 patch taps — dataset generation) gather
+    slot/attrs there and use eval_color_taps, skipping the full-window
+    epilogue entirely."""
+    return _render_views_slots(vertices, faces, colors, poses, K,
+                               jnp.full(poses.shape[:1], float(x0)),
+                               jnp.full(poses.shape[:1], float(y0)),
+                               width, height, tile, capacity, face_chunk,
+                               global_capacity, interpret)
 
 
 def render_views_clipped_pallas(vertices, faces, colors, poses, K, corners,

@@ -136,3 +136,55 @@ def test_invalid_near_plane_face_never_rasterizes():
     np.testing.assert_allclose(np.asarray(colp), np.asarray(colb),
                                atol=1e-5)
     assert (np.asarray(depp) > 0).sum() > 0          # valid face renders
+
+
+def test_slot_sparse_patch_bit_identical():
+    """The slot-sparse generation path (face colors evaluated only at the
+    64x64 patch resample taps — dataset._patch_from_slots) must reproduce
+    the full-window color epilogue + sample_patch pipeline bit-for-bit."""
+    from pose3d_tpu.data.dataset import _patch_from_slots
+    from pose3d_tpu.ops.geometry import depth2normals
+    from pose3d_tpu.ops.patch import sample_patch
+    from pose3d_tpu.render.rasterizer_pallas import (
+        render_views_slots_pallas, render_views_tiled_pallas)
+
+    mesh = make_test_mesh("cube", 0.1)
+    poses = []
+    for rz, z in ((0.3, 0.4), (-0.7, 0.5), (1.9, 0.45)):
+        c, s = np.cos(rz), np.sin(rz)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                               np.float32)
+        T[2, 3] = z
+        poses.append(T)
+    poses = jnp.asarray(np.stack(poses))
+    args = (jnp.asarray(mesh.vertices), jnp.asarray(mesh.faces),
+            jnp.asarray(mesh.colors), poses, K)
+    fx, fy = 100.0, 100.0
+    oxw = jnp.float32(32.0)
+    oyw = jnp.float32(32.0)
+    zs = poses[:, 2, 3]
+
+    col, dep, _ = render_views_tiled_pallas(
+        *args, width=64, height=64, tile=32, capacity=128, face_chunk=128,
+        interpret=_interp(), return_overflow=True)
+    old = jax.vmap(lambda c, d, z: sample_patch(
+        c * 255.0, d, depth2normals(d, fx, fy), oxw, oyw, z,
+        fx=fx, fy=fy))(col, dep, zs)
+
+    dep2, slot, pf, attrs, _ = render_views_slots_pallas(
+        *args, width=64, height=64, tile=32, capacity=128, face_chunk=128,
+        interpret=_interp())
+    new = jax.vmap(lambda d, s, p, a, z: _patch_from_slots(
+        d, s, p, a, jnp.zeros((1, 1, 3), jnp.float32), False,
+        oxw, oyw, z, fx, fy))(dep2, slot, pf, attrs, zs)
+
+    np.testing.assert_array_equal(np.asarray(dep2), np.asarray(dep))
+    assert float(jnp.sum(dep > 0)) > 100          # the cube is in frame
+    # same arithmetic, but XLA contracts fmas differently between the two
+    # programs: color/normals agree to one f32 ulp, and the depth channel
+    # (whose exact-zero bit is the augmentation background mask) is
+    # bit-exact
+    np.testing.assert_array_equal(np.asarray(new)[..., 3],
+                                  np.asarray(old)[..., 3])
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=2e-7)
