@@ -183,6 +183,14 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
         FULL["views"] / max(summary["gen_views_per_s"], 1e-9)
         + FULL["samples"] / max(summary["train_samples_per_s"], 1e-9)
         + FULL["queries"] / max(summary["eval_queries_per_s"], 1e-9), 1)
+    # steady-basis variant: excludes the FIRST mesh's one-time process
+    # costs (tunnel warm-up + per-program executable load), which vary
+    # 110-430 s run-to-run with tunnel weather and would otherwise
+    # dominate run-to-run comparison of the pipeline itself
+    summary["extrapolated_full_seconds_steady"] = round(
+        FULL["views"] / max(summary["gen_views_per_s_steady"], 1e-9)
+        + FULL["samples"] / max(summary["train_samples_per_s"], 1e-9)
+        + FULL["queries"] / max(summary["eval_queries_per_s"], 1e-9), 1)
     fname = "bench_e2e_cpu.json" if cpu else "bench_e2e.json"
     with open(os.path.join(out, fname), "w") as f:
         json.dump(summary, f, indent=1)

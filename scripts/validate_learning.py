@@ -24,7 +24,7 @@ THRESHOLDS = {"wrong_class_max": 0.02, "lt20_min": 0.95,
 
 
 def main(base: str = "/tmp/p3d_validate",
-         artifact: str | None = None) -> int:
+         artifact: str | None = None, bf16_train: bool = False) -> int:
     from make_disk_fixture import make_linemod_fixture, write_fixture_config
     from pose3d_tpu.config import load_config
     from pose3d_tpu.data.dataset import DatasetManager
@@ -57,6 +57,12 @@ def main(base: str = "/tmp/p3d_validate",
         cfg, template_subdiv=2, training_subdiv=2, num_training_rounds=8,
         num_bootstrapping_rounds=2, num_epochs=1, log_epoch=2,
         batch_size=300, random_background=1)
+    if bf16_train:
+        # gate the OPT-IN bf16 training mode (config compute_dtype):
+        # bf16 trunk intermediates through the fused train step — the
+        # step is ~85% fwd+bwd, so this is the main step-throughput
+        # lever left; it must still learn to the same thresholds
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
 
     t0 = time.time()
     db = DatasetManager(cfg)
@@ -136,6 +142,7 @@ def main(base: str = "/tmp/p3d_validate",
         "platform": jax.default_backend(),
         "protocol": "procedural LineMOD fixture, 48 real frames/object, "
                     "subdiv 2/2, 8+2 rounds",
+        "train_compute_dtype": cfg.compute_dtype,
         "test_patches": int(np.prod(data.test_patches.shape[:2])),
         "train_iters": int(state["iter"]),
         "histogram": {n: round(float(v), 4) for n, v in zip(names, hist)},
@@ -159,5 +166,7 @@ def main(base: str = "/tmp/p3d_validate",
 
 if __name__ == "__main__":
     args = sys.argv[1:]
+    bf16 = "--bf16-train" in args
+    args = [a for a in args if a != "--bf16-train"]
     sys.exit(main(args[0] if args else "/tmp/p3d_validate",
-                  args[1] if len(args) > 1 else None))
+                  args[1] if len(args) > 1 else None, bf16_train=bf16))
