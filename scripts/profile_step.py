@@ -99,7 +99,7 @@ def main():
     print(f"device: {jax.devices()[0]}  scale O={O} Ntr={Ntr} T={T}",
           flush=True)
 
-    def variant(mode, fwd=True, bwd=True, mine=True):
+    def variant(mode, fwd=True, bwd=True, mine=True, train_dtype=None):
         # data/banks are ARGUMENTS (not closures): closed-over device
         # arrays become captured constants re-shipped at compile time,
         # which through the tunnel never finishes
@@ -117,8 +117,9 @@ def main():
                     return (params, opt, key), jnp.sum(batch[0, 0, 0, :1])
 
                 def loss_fn(p):
-                    return losses.spec_loss(apply(p, spec, batch),
-                                            spec.loss_slices, spec.margin)
+                    return losses.spec_loss(
+                        apply(p, spec, batch, compute_dtype=train_dtype),
+                        spec.loss_slices, spec.margin)
                 if bwd:
                     loss, grads = jax.value_and_grad(loss_fn)(params)
                     updates, opt = tx.update(grads, opt, params)
@@ -142,6 +143,13 @@ def main():
         ("mine only, no aug no net", variant(0, fwd=False)),
         ("fwd+bwd only (random batch)", variant(3, mine=False)),
         ("fwd only (random batch)", variant(3, mine=False, bwd=False)),
+        # the OPT-IN bf16 training mode (config compute_dtype=bfloat16,
+        # gated by validate_learning --bf16-train): bf16 trunk
+        # intermediates through fwd+bwd, f32 master weights/updates
+        ("full step bf16 (fractal bg=3)",
+         variant(3, train_dtype=jnp.bfloat16)),
+        ("fwd+bwd bf16 (random batch)",
+         variant(3, mine=False, train_dtype=jnp.bfloat16)),
     ]
     import json, os
     results = {"device": str(jax.devices()[0]),
