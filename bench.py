@@ -79,8 +79,13 @@ def _measure(batch: int, iters: int, compute_dtype=None) -> float:
 def main():
     if "--cpu-baseline" in sys.argv:
         # subprocess under JAX_PLATFORMS=cpu: stands in for the reference's
-        # CPU-mode Caffe forward
-        print(json.dumps({"cpu_pps": _measure(256, iters=4)}))
+        # CPU-mode Caffe forward.  Measure BOTH modes so each TPU number
+        # divides by the same program on the host (bf16 serving vs bf16,
+        # f32 vs f32 — not a mixed-dtype ratio).
+        print(json.dumps({
+            "cpu_pps": _measure(256, iters=4),
+            "cpu_pps_serving": _measure(256, iters=4,
+                                        compute_dtype=jnp.bfloat16)}))
         return
 
     on_tpu = require_tpu()
@@ -94,24 +99,31 @@ def main():
     print(f"descriptor throughput: {tpu_pps:,.0f} patches/s (serving/bf16), "
           f"{f32_pps:,.0f} (f32)", file=sys.stderr)
 
-    cpu_pps = 0.0
+    cpu_pps = cpu_serving_pps = 0.0
     try:
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpu-baseline"],
-            capture_output=True, text=True, timeout=600, env=env)
-        cpu_pps = json.loads(out.stdout.strip().splitlines()[-1])["cpu_pps"]
-        print(f"cpu baseline: {cpu_pps:,.0f} patches/s", file=sys.stderr)
+            capture_output=True, text=True, timeout=900, env=env)
+        base = json.loads(out.stdout.strip().splitlines()[-1])
+        cpu_pps = base["cpu_pps"]
+        cpu_serving_pps = base.get("cpu_pps_serving", 0.0)
+        print(f"cpu baseline: {cpu_pps:,.0f} patches/s (f32), "
+              f"{cpu_serving_pps:,.0f} (serving/bf16)", file=sys.stderr)
     except Exception as e:  # baseline failure must not kill the bench
         print(f"cpu baseline failed: {e}", file=sys.stderr)
 
+    # vs_baseline divides SAME-PROGRAM numbers (serving mode on both
+    # sides); the f32/f32 ratio is reported alongside
+    vs = tpu_pps / cpu_serving_pps if cpu_serving_pps else None
     print(json.dumps({
         "metric": "linemod_descriptor_throughput",
         "value": round(tpu_pps, 1),
         "unit": "patches/sec/chip",
-        "vs_baseline": round(tpu_pps / cpu_pps, 2) if cpu_pps else None,
+        "vs_baseline": round(vs, 2) if vs else None,
         "platform": "tpu" if on_tpu else "cpu-fallback",
         "f32_value": round(f32_pps, 1),
+        "f32_vs_baseline": round(f32_pps / cpu_pps, 2) if cpu_pps else None,
     }))
 
 

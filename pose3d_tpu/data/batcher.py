@@ -122,8 +122,14 @@ def batch_indices(key: jax.Array, it: jnp.ndarray, groups: int,
         use2 = missed & has_second[obj, pose]
         p2_obj = jnp.where(use2, knn[obj, pose, 2], p2_obj)
         p2_pose = jnp.where(use2, knn[obj, pose, 3], p2_pose)
-    elif not (isinstance(bootstrapping, bool) and not bootstrapping):
-        raise ValueError("bootstrapping requires knn_tables")
+    elif isinstance(bootstrapping, bool):
+        if bootstrapping:
+            raise ValueError("bootstrapping requires knn_tables")
+    # else: a TRACED flag with no tables.  This program contains no kNN
+    # data, so the flag cannot act; treat it as off.  (Raising here would
+    # spuriously reject an explicit ``bootstrapping=False`` that jit has
+    # turned into a tracer — a traced True is a caller bug we cannot
+    # detect at trace time; the solver always passes tables.)
 
     return dict(obj=obj, pose=pose, puller=puller, pusher0=pusher0,
                 pusher0_is_neg=has_neg, neg_idx=neg_idx,
@@ -220,7 +226,7 @@ def manifold_batch_indices(key: jax.Array, it: jnp.ndarray,
     rot = data.rot_inv[tob] != 0
     ks = jax.random.split(key, 2)
     p_rot = _masked_uniform(ks[0], data.elev_ok[tob, tpu])
-    p_plain = _uniform_except(ks[0], T, tpu)
+    p_plain = _uniform_except(ks[1], T, tpu)
     pusher_obj = tob
     pusher_pose = jnp.where(rot, p_rot, p_plain)
     if knn_tables is not None:
@@ -230,8 +236,10 @@ def manifold_batch_indices(key: jax.Array, it: jnp.ndarray,
         missed = ((knn_obj != tob) | (knn_pose != tpu)) & bootstrapping
         pusher_obj = jnp.where(missed, knn_obj, pusher_obj)
         pusher_pose = jnp.where(missed, knn_pose, pusher_pose)
-    elif not (isinstance(bootstrapping, bool) and not bootstrapping):
-        raise ValueError("bootstrapping requires knn_tables")
+    elif isinstance(bootstrapping, bool):
+        if bootstrapping:
+            raise ValueError("bootstrapping requires knn_tables")
+    # else: traced flag, no tables — cannot act; off (see batch_indices)
 
     return dict(obj=obj, pose=pose, puller=puller,
                 pusher_obj=pusher_obj, pusher_pose=pusher_pose)

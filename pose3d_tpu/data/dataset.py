@@ -247,8 +247,8 @@ def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
 def create_synth_samples_pair(mesh: Mesh, cam: np.ndarray, class_idx: int,
                               subdiv_tmpl: int, subdiv_train: int,
                               inplane: bool, scale_z: float = 0.4,
-                              to_host: bool = True
-                              ) -> Tuple[SampleSet, SampleSet]:
+                              to_host: bool = True,
+                              defer_overflow: bool = False):
     """Templates + training views of one mesh in ONE render invocation.
 
     Behaviorally identical to two ``create_synth_samples`` calls (same
@@ -257,6 +257,12 @@ def create_synth_samples_pair(mesh: Mesh, cam: np.ndarray, class_idx: int,
     chunk-count shape instead of two) and one overflow check — on a
     tunneled device each extra compiled program costs ~25-30 s of
     per-process executable load, which dominated generation wall time.
+
+    ``defer_overflow=True`` (requires ``to_host=False``) returns
+    ``(tmpl_set, train_set, overflow_scalar, retry)`` without any host
+    sync — see _render_patches; callers fetch every mesh's flag in one
+    round trip and call ``retry()`` (which returns a fresh
+    ``(tmpl_set, train_set)``) only for meshes that overflowed.
     """
     rots = (-45.0, 15.0, 45.0) if inplane else (0.0, 15.0, 10.0)
     poses_t, _ = create_view_poses(subdiv_tmpl, (scale_z, 1.1, 1.0), rots,
@@ -265,12 +271,22 @@ def create_synth_samples_pair(mesh: Mesh, cam: np.ndarray, class_idx: int,
                                    True)
     nt = len(poses_t)
     sw, sh, x0, y0, ox, oy = _synth_window(cam, scale_z)
-    patches = _render_patches(mesh, cam,
-                              np.concatenate([poses_t, poses_s]),
-                              sw, sh, x0, y0, ox, oy, scale_z,
-                              to_host=to_host)
-    return (SampleSet(patches[:nt], poses_to_labels(class_idx, poses_t)),
-            SampleSet(patches[nt:], poses_to_labels(class_idx, poses_s)))
+    poses_all = np.concatenate([poses_t, poses_s])
+
+    def split(patches):
+        return (SampleSet(patches[:nt], poses_to_labels(class_idx, poses_t)),
+                SampleSet(patches[nt:],
+                          poses_to_labels(class_idx, poses_s)))
+
+    if defer_overflow:
+        patches, overflow, retry_render = _render_patches(
+            mesh, cam, poses_all, sw, sh, x0, y0, ox, oy, scale_z,
+            to_host=to_host, defer_overflow=True)
+        return split(patches) + (overflow, lambda: split(retry_render()))
+
+    patches = _render_patches(mesh, cam, poses_all, sw, sh, x0, y0, ox, oy,
+                              scale_z, to_host=to_host)
+    return split(patches)
 
 
 def _pow2_at_least(n: int, floor: int) -> int:
@@ -401,7 +417,8 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                     sw: int, sh: int, x0: int, y0: int,
                     ox: float, oy: float, z: float,
                     views_per_call: int | None = None,
-                    to_host: bool = True) -> np.ndarray:
+                    to_host: bool = True,
+                    defer_overflow: bool = False):
     """Render -> normals -> patch for a pose batch, staying on device under
     one dispatch per mesh (see _render_program).
 
@@ -409,7 +426,16 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     by ONE batched device probe over a spread of 8 poses (x1.5 margin;
     rounded so similar meshes share a compiled program); the render
     program reports capacity overflow, on which the render retries at
-    doubled capacity instead of silently dropping geometry."""
+    doubled capacity instead of silently dropping geometry.
+
+    ``defer_overflow=True`` (requires ``to_host=False``) removes BOTH
+    per-mesh host syncs from the loop: the render is dispatched
+    speculatively at the shared floor capacity (no probe) and the
+    function returns ``(patches, overflow_scalar, retry)`` WITHOUT
+    fetching the flag — callers render every mesh back-to-back, fetch all
+    flags in ONE round trip, and call ``retry()`` (the blocking
+    probe+resize path) only for offenders.  Through the tunnel each
+    avoided sync is ~0.1-2 s; the device pipelines the queued renders."""
     from pose3d_tpu.render.rasterizer_tiled import probe_capacity
     fx, fy = float(cam[0, 0]), float(cam[1, 1])
     backend = jax.default_backend()
@@ -453,26 +479,37 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     K = jnp.asarray(cam)
 
     tile = 32
-    # capacity rounds to 512-multiples: coarse enough to bound compiled
-    # program variants, fine enough not to inflate the per-tile gather
-    # (pow2 rounding would double it for mid-density meshes, e.g 2304->4096).
-    # Size from a SPREAD of poses, not just poses[0]: per-tile overlap
-    # varies with in-plane rotation.  The probe is ONE jitted dispatch +
-    # one two-scalar fetch — per-pose host loops here cost 16 host-synced
-    # round trips per mesh, seconds each through a tunneled device.
-    pr = poses[:: max(1, len(poses) // 8)][:8]
-    if len(pr) < 8:
-        pr = np.concatenate([pr, np.tile(pr[-1:], (8 - len(pr), 1, 1))])
-    mo, nl = jax.device_get(probe_capacity(
-        verts, faces, jnp.asarray(np.asarray(pr, np.float32)), K,
-        width=sw, height=sh, x0=x0, y0=y0, tile=tile))
-    capacity = max(cap_floor, -(-int(np.ceil(int(mo) * 1.5)) // 512) * 512)
-    # size the binning's shared >2x2-tile face section the same way
-    # (coarse meshes near the camera can exceed the 256 default); on TPU
-    # the floor matches cap_floor so the global-section size cannot split
-    # otherwise-identical programs
-    global_cap = max(256 if backend != "tpu" else cap_floor,
-                     -(-int(np.ceil(int(nl) * 1.5)) // 512) * 512)
+    if defer_overflow:
+        if to_host:
+            raise ValueError("defer_overflow requires to_host=False")
+        # speculative: the shared floor capacity fits every LineMOD-density
+        # mesh; a denser mesh just flags overflow and retries via the
+        # probing path below — no per-mesh probe sync
+        capacity = cap_floor
+        global_cap = cap_floor if backend == "tpu" else 256
+    else:
+        # capacity rounds to 512-multiples: coarse enough to bound compiled
+        # program variants, fine enough not to inflate the per-tile gather
+        # (pow2 rounding would double it for mid-density meshes,
+        # e.g 2304->4096).  Size from a SPREAD of poses, not just poses[0]:
+        # per-tile overlap varies with in-plane rotation.  The probe is ONE
+        # jitted dispatch + one two-scalar fetch — per-pose host loops here
+        # cost 16 host-synced round trips per mesh, seconds each through a
+        # tunneled device.
+        pr = poses[:: max(1, len(poses) // 8)][:8]
+        if len(pr) < 8:
+            pr = np.concatenate([pr, np.tile(pr[-1:], (8 - len(pr), 1, 1))])
+        mo, nl = jax.device_get(probe_capacity(
+            verts, faces, jnp.asarray(np.asarray(pr, np.float32)), K,
+            width=sw, height=sh, x0=x0, y0=y0, tile=tile))
+        capacity = max(cap_floor,
+                       -(-int(np.ceil(int(mo) * 1.5)) // 512) * 512)
+        # size the binning's shared >2x2-tile face section the same way
+        # (coarse meshes near the camera can exceed the 256 default); on TPU
+        # the floor matches cap_floor so the global-section size cannot
+        # split otherwise-identical programs
+        global_cap = max(256 if backend != "tpu" else cap_floor,
+                         -(-int(np.ceil(int(nl) * 1.5)) // 512) * 512)
 
     if views_per_call is None:
         # packed face blocks are ~11 MB/view at LineMOD density (bounds the
@@ -484,6 +521,19 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     padded = np.concatenate([poses, np.tile(poses[-1:], (pad, 1, 1))]) \
         if pad else poses
     chunks = jnp.asarray(padded).reshape(-1, views_per_call, 4, 4)
+    if defer_overflow:
+        program = _render_program(backend, textured, sw, sh, x0, y0, tile,
+                                  capacity, global_cap, fx, fy)
+        full, overflow = program(verts, faces, colors, K, chunks, texture,
+                                 jnp.float32(ox - x0),
+                                 jnp.float32(oy - y0), jnp.float32(z))
+
+        def retry():
+            return _render_patches(mesh, cam, poses, sw, sh, x0, y0, ox,
+                                   oy, z, views_per_call=views_per_call,
+                                   to_host=False)
+        return full.reshape(-1, 64, 64, 7)[:V], overflow, retry
+
     # a pose outside the probe spread can still exceed the sized capacity;
     # the render reports dropped geometry and we re-render bigger instead
     # of silently training on patches with holes

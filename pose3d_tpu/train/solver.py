@@ -156,9 +156,18 @@ class Solver:
 
     def _shard_batch(self, batch):
         from jax.sharding import NamedSharding, PartitionSpec as P
-        if self.mesh.size > 1 and batch.shape[0] % self.mesh.size == 0:
-            return jax.lax.with_sharding_constraint(
-                batch, NamedSharding(self.mesh, P("dp")))
+        if self.mesh.size > 1:
+            if batch.shape[0] % self.mesh.size == 0:
+                return jax.lax.with_sharding_constraint(
+                    batch, NamedSharding(self.mesh, P("dp")))
+            # e.g. the legacy `manifold` net's 330-row triplet+pair batch
+            # with dp=4/8: replicating is correct but forfeits data
+            # parallelism — say so instead of silently degrading (pick a
+            # dp that divides the batch: 330 = 2*3*5*11)
+            log.warning(
+                "batch rows (%d) not divisible by dp mesh size (%d): "
+                "running replicated, no data parallelism", batch.shape[0],
+                self.mesh.size)
         return batch
 
     def _train_step(self, bootstrapping: bool):

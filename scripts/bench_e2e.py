@@ -75,26 +75,38 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
     # mesh's per-program executable loads.)
     jnp.zeros((8, 128)).sum().block_until_ready()
 
-    # ---- generation: straight to device tensors
+    # ---- generation: straight to device tensors.  deferred-overflow
+    # mode: every mesh's render is dispatched back-to-back with NO host
+    # sync (no per-mesh probe, no per-mesh flag fetch); the overflow
+    # flags are fetched in ONE round trip afterwards and only offending
+    # meshes re-render via the blocking probe+resize path
     t0 = time.time()
-    tmpl_p, tmpl_l, train_p, train_l = [], [], [], []
+    tmpl_p, tmpl_l, train_p, train_l, deferred = [], [], [], [], []
     n_views = 0
     mesh_marks = []          # (views_so_far, elapsed) after each mesh
-    for name, (kind, size, detail) in zip(names, shapes):
+    for i, (name, (kind, size, detail)) in enumerate(zip(names, shapes)):
         mesh = make_test_mesh(kind, size, detail=detail)
         idx = cfg.model_index[name]
-        # one render invocation per mesh: shared probe + one compiled
-        # program (one chunk-count) + one overflow check
-        tmpl, synth = create_synth_samples_pair(
-            mesh, LINEMOD_K, idx, 2, train_subdiv, True, to_host=False)
+        tmpl, synth, overflow, retry = create_synth_samples_pair(
+            mesh, LINEMOD_K, idx, 2, train_subdiv, True, to_host=False,
+            defer_overflow=True)
         n_views += len(tmpl.patches) + len(synth.patches)
         tmpl_p.append(tmpl.patches)
         tmpl_l.append(tmpl.labels)
         train_p.append(synth.patches)
         train_l.append(synth.labels)
+        deferred.append((i, overflow, retry))
         mesh_marks.append((n_views, time.time() - t0))
         print(f"  {name}: {len(tmpl.patches)}+{len(synth.patches)} views "
               f"({time.time()-t0:.0f}s)", flush=True)
+    flags = jax.device_get([d[1] for d in deferred])    # one sync for all
+    for (i, _, retry), flag in zip(deferred, flags):
+        if bool(flag):
+            print(f"  {names[i]}: capacity overflow, re-rendering probed",
+                  flush=True)
+            tmpl, synth = retry()
+            tmpl_p[i], tmpl_l[i] = tmpl.patches, tmpl.labels
+            train_p[i], train_l[i] = synth.patches, synth.labels
     gen_s = time.time() - t0
     # steady-state rate excludes the first mesh: a fresh process pays a
     # one-time ~1-2 min device/tunnel warm-up + per-program executable

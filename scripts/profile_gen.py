@@ -79,14 +79,13 @@ def main(out_path=None):
     print(f"device: {dev}", flush=True)
     results = {"device": str(dev), "platform": jax.default_backend()}
 
-    # the e2e window geometry (create_synth_samples, z=0.4)
+    # the e2e window geometry (create_synth_samples, z=0.4) — from the
+    # same helper production uses, so the profile can't drift from it
+    from pose3d_tpu.data.dataset import _synth_window
     K = LINEMOD_K
     fx, fy = float(K[0, 0]), float(K[1, 1])
-    ox, oy = float(K[0, 2]), float(K[1, 2])
-    z, border = 0.4, 4
-    sw = int(fx * 0.2 / z) + 2 * border
-    sh = int(fy * 0.2 / z) + 2 * border
-    x0, y0 = int(ox) - sw // 2, int(oy) - sh // 2
+    z = 0.4
+    sw, sh, x0, y0, ox, oy = _synth_window(np.asarray(K), z)
     tile = 32
 
     mesh = make_test_mesh("sphere", 0.10, detail=3)

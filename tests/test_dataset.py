@@ -150,3 +150,46 @@ def test_synth_samples_pair_matches_separate_calls():
     np.testing.assert_array_equal(pa.labels, a.labels)
     np.testing.assert_array_equal(pb.patches, b.patches)
     np.testing.assert_array_equal(pb.labels, b.labels)
+
+
+def test_synth_samples_pair_deferred_overflow():
+    """defer_overflow=True must produce the same sets with NO host sync in
+    the render path, returning the overflow flag + a blocking retry whose
+    output matches the probed path."""
+    import jax
+    import numpy as np
+    from pose3d_tpu.data.benchmarks import LINEMOD_K
+    from pose3d_tpu.data.dataset import create_synth_samples_pair
+
+    from pose3d_tpu.render import make_test_mesh
+
+    mesh = make_test_mesh("cube", 0.1)
+    pa, pb = create_synth_samples_pair(mesh, LINEMOD_K, 3, 0, 1, True,
+                                       to_host=False)
+    da, db, overflow, retry = create_synth_samples_pair(
+        mesh, LINEMOD_K, 3, 0, 1, True, to_host=False, defer_overflow=True)
+    assert not bool(jax.device_get(overflow))
+    np.testing.assert_array_equal(np.asarray(da.patches),
+                                  np.asarray(pa.patches))
+    np.testing.assert_array_equal(np.asarray(db.patches),
+                                  np.asarray(pb.patches))
+    np.testing.assert_array_equal(da.labels, pa.labels)
+    np.testing.assert_array_equal(db.labels, pb.labels)
+    # the retry (probing) path reproduces the same sets
+    ra, rb = retry()
+    np.testing.assert_array_equal(np.asarray(ra.patches),
+                                  np.asarray(pa.patches))
+    np.testing.assert_array_equal(np.asarray(rb.patches),
+                                  np.asarray(pb.patches))
+
+
+def test_render_patches_deferred_requires_device():
+    import pytest
+    from pose3d_tpu.data.benchmarks import LINEMOD_K
+    from pose3d_tpu.data.dataset import create_synth_samples_pair
+    from pose3d_tpu.render import make_test_mesh
+
+    mesh = make_test_mesh("tetra", 0.1)
+    with pytest.raises(ValueError, match="to_host"):
+        create_synth_samples_pair(mesh, LINEMOD_K, 0, 0, 0, True,
+                                  to_host=True, defer_overflow=True)
