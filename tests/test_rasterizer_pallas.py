@@ -188,3 +188,64 @@ def test_slot_sparse_patch_bit_identical():
     np.testing.assert_array_equal(np.asarray(new)[..., 3],
                                   np.asarray(old)[..., 3])
     np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=2e-7)
+
+
+def test_slot_sparse_patch_textured_identical():
+    """Textured branch of the slot-sparse path: per-pixel (u, v)
+    interpolation + nearest texel lookup at the patch taps must match the
+    full-window texturing + sample_patch pipeline (dataset._render_program's
+    textured _post)."""
+    from pose3d_tpu.data.dataset import _patch_from_slots
+    from pose3d_tpu.ops.geometry import depth2normals
+    from pose3d_tpu.ops.patch import sample_patch
+    from pose3d_tpu.render.rasterizer_pallas import (
+        render_views_slots_pallas, render_views_tiled_pallas)
+    from pose3d_tpu.render.texture import sample_texture_nearest
+
+    s = 0.1
+    verts = jnp.asarray([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]],
+                        jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+    uv = jnp.asarray([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]],
+                     jnp.float32)          # (u, v, pad) as dataset packs it
+    tex = jnp.asarray(
+        np.stack([np.full((2, 2), c) for c in (0.9, 0.2, 0.5)], axis=-1)
+        * np.asarray([[0.3, 1.0], [1.0, 0.6]])[..., None], jnp.float32)
+
+    poses = []
+    for rz, z in ((0.2, 0.4), (-0.9, 0.5)):
+        c, si = np.cos(rz), np.sin(rz)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.asarray([[c, -si, 0], [si, c, 0], [0, 0, 1]],
+                               np.float32)
+        T[2, 3] = z
+        poses.append(T)
+    poses = jnp.asarray(np.stack(poses))
+    fx, fy = 100.0, 100.0
+    oxw = jnp.float32(32.0)
+    oyw = jnp.float32(32.0)
+    zs = poses[:, 2, 3]
+    args = (verts, faces, uv, poses, K)
+
+    col, dep, _ = render_views_tiled_pallas(
+        *args, width=64, height=64, tile=32, capacity=128, face_chunk=128,
+        interpret=_interp(), return_overflow=True)
+
+    def old_one(c, d, z):
+        rgb = sample_texture_nearest(c[..., 0], c[..., 1], tex)
+        c = jnp.where((d > 0.0)[..., None], rgb, 0.0)
+        return sample_patch(c * 255.0, d, depth2normals(d, fx, fy),
+                            oxw, oyw, z, fx=fx, fy=fy)
+    old = jax.vmap(old_one)(col, dep, zs)
+
+    dep2, slot, pf, attrs, _ = render_views_slots_pallas(
+        *args, width=64, height=64, tile=32, capacity=128, face_chunk=128,
+        interpret=_interp())
+    new = jax.vmap(lambda d, s_, p, a, z: _patch_from_slots(
+        d, s_, p, a, tex, True, oxw, oyw, z, fx, fy))(dep2, slot, pf,
+                                                      attrs, zs)
+
+    assert float(jnp.sum(dep > 0)) > 100
+    np.testing.assert_array_equal(np.asarray(new)[..., 3],
+                                  np.asarray(old)[..., 3])
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=2e-7)
