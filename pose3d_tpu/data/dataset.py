@@ -380,7 +380,10 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
             dep, slot, pf, attrs, ovf = render_views_slots_pallas(
                 verts, faces, colors, pose_chunk, K, width=sw, height=sh,
                 x0=x0, y0=y0, tile=tile, capacity=capacity,
-                face_chunk=256, global_capacity=global_cap)
+                # fc=128 beats 256 by ~12% at LineMOD density (finer
+                # segment granularity outweighs the extra grid steps;
+                # measured 0.41 vs 0.47 ms/view over 3 reps)
+                face_chunk=128, global_capacity=global_cap)
             pats = jax.vmap(
                 lambda d, s, p, a: _patch_from_slots(
                     d, s, p, a, texture, textured, oxw, oyw, z, fx, fy)

@@ -137,7 +137,7 @@ def main(out_path=None):
     def render_fn(pc):
         col, dep = render_views_tiled_pallas(
             verts, faces, colors, pc, Kj, width=sw, height=sh, x0=x0,
-            y0=y0, tile=tile, capacity=capacity, face_chunk=256,
+            y0=y0, tile=tile, capacity=capacity, face_chunk=128,
             global_capacity=global_cap)
         return jnp.sum(dep)
     dt = timed_chain(render_fn, (chunk,))
@@ -148,7 +148,7 @@ def main(out_path=None):
     # ---- phase: epilogue only (normals + patch resample per view)
     col8, dep8 = render_views_tiled_pallas(
         verts, faces, colors, chunk, Kj, width=sw, height=sh, x0=x0, y0=y0,
-        tile=tile, capacity=capacity, face_chunk=256,
+        tile=tile, capacity=capacity, face_chunk=128,
         global_capacity=global_cap)
     oxw = jnp.float32(ox - x0)
     oyw = jnp.float32(oy - y0)
