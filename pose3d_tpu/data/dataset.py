@@ -232,15 +232,20 @@ def _synth_window(cam: np.ndarray, scale_z: float):
 def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
                          subdiv: int, inplane: bool,
                          scale_z: float = 0.4,
-                         to_host: bool = True) -> SampleSet:
+                         to_host: bool = True,
+                         n_shards: int = 1) -> SampleSet:
     """createSynthSamplesWadim (reference src/datasetmanager.cpp:498-537),
-    rendering each view only inside the metric-crop window."""
+    rendering each view only inside the metric-crop window.
+
+    ``n_shards > 1`` splits the view chunks over a dp device mesh
+    (see _render_program) — generation scales ~linearly with chips."""
     rots = (-45.0, 15.0, 45.0) if inplane else (0.0, 15.0, 10.0)
     poses, _ = create_view_poses(subdiv, (scale_z, 1.1, 1.0), rots, True)
 
     sw, sh, x0, y0, ox, oy = _synth_window(cam, scale_z)
     patches = _render_patches(mesh, cam, poses, sw, sh, x0, y0,
-                              ox, oy, scale_z, to_host=to_host)
+                              ox, oy, scale_z, to_host=to_host,
+                              n_shards=n_shards)
     return SampleSet(patches, poses_to_labels(class_idx, poses))
 
 
@@ -248,7 +253,9 @@ def create_synth_samples_pair(mesh: Mesh, cam: np.ndarray, class_idx: int,
                               subdiv_tmpl: int, subdiv_train: int,
                               inplane: bool, scale_z: float = 0.4,
                               to_host: bool = True,
-                              defer_overflow: bool = False):
+                              defer_overflow: bool = False,
+                              n_shards: int = 1,
+                              views_per_call: int | None = None):
     """Templates + training views of one mesh in ONE render invocation.
 
     Behaviorally identical to two ``create_synth_samples`` calls (same
@@ -281,11 +288,13 @@ def create_synth_samples_pair(mesh: Mesh, cam: np.ndarray, class_idx: int,
     if defer_overflow:
         patches, overflow, retry_render = _render_patches(
             mesh, cam, poses_all, sw, sh, x0, y0, ox, oy, scale_z,
-            to_host=to_host, defer_overflow=True)
+            to_host=to_host, defer_overflow=True, n_shards=n_shards,
+            views_per_call=views_per_call)
         return split(patches) + (overflow, lambda: split(retry_render()))
 
     patches = _render_patches(mesh, cam, poses_all, sw, sh, x0, y0, ox, oy,
-                              scale_z, to_host=to_host)
+                              scale_z, to_host=to_host, n_shards=n_shards,
+                              views_per_call=views_per_call)
     return split(patches)
 
 
@@ -335,7 +344,8 @@ def _patch_from_slots(dep, slot, pair_faces, attrs, texture, textured,
 @lru_cache(maxsize=32)
 def _render_program(backend: str, textured: bool, sw: int, sh: int,
                     x0: int, y0: int, tile: int, capacity: int,
-                    global_cap: int, fx: float, fy: float):
+                    global_cap: int, fx: float, fy: float,
+                    n_shards: int = 1):
     """Compile-once render -> normals -> patch program.
 
     Mesh data (vertices / faces / colors / texture) enters as ARGUMENTS
@@ -344,6 +354,14 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
     fresh XLA compile) for every object.  The whole multi-chunk view loop
     runs on device under one dispatch: the tunnel charges ~100 ms latency
     per transfer, so a host loop over 8-view chunks is dispatch-bound.
+
+    ``n_shards > 1`` runs the chunk loop under ``shard_map`` over a
+    ``dp`` mesh of the first ``n_shards`` devices: the chunk axis splits
+    across devices (mesh geometry replicated — it is tiny next to the
+    rendered windows), each device scans its local chunks, and the
+    overflow flag is an ICI ``pmax``.  Views are embarrassingly parallel
+    (the reference renders them in a serial GL loop,
+    src/painter.cpp:87-112), so generation scales ~linearly with chips.
 
     Returns (patches [C, Vc, 64, 64, 7], overflow bool scalar) where
     overflow reports any dropped geometry (tile-capacity or global-section
@@ -404,16 +422,48 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
                 lambda c, d: _post(c, d, texture, oxw, oyw, z))(col, dep)
             return pats, jnp.any(ovf)
 
-    @jax.jit
-    def render_all(verts, faces, colors, K, pose_chunks, texture,
-                   oxw, oyw, z):
+    def render_body(verts, faces, colors, K, pose_chunks, texture,
+                    oxw, oyw, z):
         def chunk(pc):
             return chunk_patches(verts, faces, colors, K, pc, texture,
                                  oxw, oyw, z)
         patches, ovfs = jax.lax.map(chunk, pose_chunks)
         return patches, jnp.any(ovfs)
 
-    return render_all
+    if n_shards > 1:
+        from jax.sharding import PartitionSpec as P
+        from pose3d_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_shards)
+
+        def sharded(verts, faces, colors, K, pose_chunks, texture,
+                    oxw, oyw, z):
+            patches, ovf = render_body(verts, faces, colors, K,
+                                       pose_chunks, texture, oxw, oyw, z)
+            # per-shard flag vector; reduced OUTSIDE the shard_map (the
+            # any() over n_shards scalars costs nothing and avoids
+            # collective/replication bookkeeping inside the mapped body)
+            return patches, ovf[None]
+
+        # check_vma=False: the shared rasterizer scans seed their carries
+        # from replicated pixel grids and accumulate device-varying values
+        # (each shard renders its own chunks) — sound SPMD, but the vma
+        # analysis would require pcasts threaded through every scan init.
+        # Bitwise 1-dev/8-dev parity is asserted in tests/test_parallel.py.
+        smapped = jax.shard_map(
+            sharded, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("dp"), P(), P(), P(), P()),
+            out_specs=(P("dp"), P("dp")), check_vma=False)
+
+        @jax.jit
+        def render_all(verts, faces, colors, K, pose_chunks, texture,
+                       oxw, oyw, z):
+            patches, ovf = smapped(verts, faces, colors, K, pose_chunks,
+                                   texture, oxw, oyw, z)
+            return patches, jnp.any(ovf)
+
+        return render_all
+
+    return jax.jit(render_body)
 
 
 def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
@@ -421,7 +471,8 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                     ox: float, oy: float, z: float,
                     views_per_call: int | None = None,
                     to_host: bool = True,
-                    defer_overflow: bool = False):
+                    defer_overflow: bool = False,
+                    n_shards: int = 1):
     """Render -> normals -> patch for a pose batch, staying on device under
     one dispatch per mesh (see _render_program).
 
@@ -520,13 +571,18 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
         views_per_call = 8 if backend == "tpu" else 32
 
     V = len(poses)
-    pad = (-V) % views_per_call
+    # pad views so the chunk count also divides the dp shard count: each
+    # device scans an equal number of chunks (SPMD requires equal shards)
+    n_chunks = -(-V // views_per_call)
+    if n_shards > 1:
+        n_chunks += (-n_chunks) % n_shards
+    pad = n_chunks * views_per_call - V
     padded = np.concatenate([poses, np.tile(poses[-1:], (pad, 1, 1))]) \
         if pad else poses
     chunks = jnp.asarray(padded).reshape(-1, views_per_call, 4, 4)
     if defer_overflow:
         program = _render_program(backend, textured, sw, sh, x0, y0, tile,
-                                  capacity, global_cap, fx, fy)
+                                  capacity, global_cap, fx, fy, n_shards)
         full, overflow = program(verts, faces, colors, K, chunks, texture,
                                  jnp.float32(ox - x0),
                                  jnp.float32(oy - y0), jnp.float32(z))
@@ -534,7 +590,7 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
         def retry():
             return _render_patches(mesh, cam, poses, sw, sh, x0, y0, ox,
                                    oy, z, views_per_call=views_per_call,
-                                   to_host=False)
+                                   to_host=False, n_shards=n_shards)
         return full.reshape(-1, 64, 64, 7)[:V], overflow, retry
 
     # a pose outside the probe spread can still exceed the sized capacity;
@@ -542,7 +598,7 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     # of silently training on patches with holes
     for attempt in range(3):
         program = _render_program(backend, textured, sw, sh, x0, y0, tile,
-                                  capacity, global_cap, fx, fy)
+                                  capacity, global_cap, fx, fy, n_shards)
         full, overflow = program(verts, faces, colors, K, chunks, texture,
                                  jnp.float32(ox - x0), jnp.float32(oy - y0),
                                  jnp.float32(z))
@@ -565,7 +621,8 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
 
 def create_synth_samples_paul(mesh: Mesh, cam: np.ndarray, class_idx: int,
                               dataset_path: str,
-                              dataset_name: str) -> SampleSet:
+                              dataset_name: str,
+                              n_shards: int = 1) -> SampleSet:
     """createSynthSamplesPaul (reference src/datasetmanager.cpp:425-496):
     1542 el/az camera positions from paul/camPositionsElAz.txt."""
     elaz = np.loadtxt(os.path.join(dataset_path, "paul",
@@ -602,7 +659,7 @@ def create_synth_samples_paul(mesh: Mesh, cam: np.ndarray, class_idx: int,
     x0, y0 = int(ox) - sw // 2, int(oy) - sh // 2
 
     patches = _render_patches(mesh, cam, np.stack(poses), sw, sh, x0, y0,
-                              ox, oy, z)
+                              ox, oy, z, n_shards=n_shards)
     return SampleSet(patches, poses_to_labels(class_idx, np.stack(poses)))
 
 
@@ -617,6 +674,18 @@ class DatasetManager:
         self.hard_negatives: Dict[str, SampleSet] = {}
 
     # ---------------------------------------------------------- generation
+    def _gen_shards(self) -> int:
+        """Device count for sharded generation: views are embarrassingly
+        parallel, so the render chunks split over the dp mesh (bitwise
+        parity with single-chip — tests/test_parallel.py).  Virtual CPU
+        meshes share one physical core, so CPU keeps the single-device
+        program (the sharded path is still covered in-suite)."""
+        import jax
+        if jax.default_backend() != "tpu":
+            return 1
+        from pose3d_tpu.parallel.mesh import make_mesh
+        return make_mesh(self.cfg.data_parallel).size
+
     def _load_model(self, name: str) -> Mesh:
         for ext in (".ply", ".obj"):
             p = os.path.join(self.cfg.dataset_path, name + ext)
@@ -650,11 +719,13 @@ class DatasetManager:
             elif cfg.inplane:
                 templates, synth = create_synth_samples_pair(
                     mesh, bench.cam, idx, cfg.template_subdiv,
-                    cfg.training_subdiv, True)
+                    cfg.training_subdiv, True,
+                    n_shards=self._gen_shards())
             else:
                 allp = create_synth_samples_paul(mesh, bench.cam, idx,
                                                  cfg.dataset_path,
-                                                 cfg.dataset_name)
+                                                 cfg.dataset_name,
+                                                 n_shards=self._gen_shards())
                 templates = SampleSet(allp.patches[:301], allp.labels[:301])
                 synth = SampleSet(allp.patches[302:], allp.labels[302:])
             hdf5cache.write_samples(tmpl_p, templates.patches,

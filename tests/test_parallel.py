@@ -123,6 +123,32 @@ def test_sharded_descriptors_match_single_device(tiny_data):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_generation_matches_single_device():
+    """Dataset generation with the view chunks sharded over the 8-device
+    mesh must be bitwise identical to the single-device render: the same
+    per-view programs run, only their placement changes (the overflow flag
+    is an ICI pmax)."""
+    from pose3d_tpu.data.dataset import create_synth_samples_pair
+    from pose3d_tpu.render import make_test_mesh
+
+    # small synthetic intrinsics -> a ~68px render window: the sharding
+    # semantics are window-size independent and the full LineMOD window
+    # is already covered by test_dataset.py
+    K = np.array([[120.0, 0.0, 34.0], [0.0, 120.0, 34.0], [0.0, 0.0, 1.0]])
+    mesh = make_test_mesh("cube", 0.1, detail=2)
+    kw = dict(inplane=False, to_host=False, defer_overflow=True,
+              views_per_call=4)
+    t1, s1, ovf1, _ = create_synth_samples_pair(mesh, K, 0, 0, 0, **kw)
+    t8, s8, ovf8, _ = create_synth_samples_pair(mesh, K, 0, 0, 0,
+                                                n_shards=8, **kw)
+    assert bool(ovf1) == bool(ovf8)
+    np.testing.assert_array_equal(np.asarray(t1.patches),
+                                  np.asarray(t8.patches))
+    np.testing.assert_array_equal(np.asarray(s1.patches),
+                                  np.asarray(s8.patches))
+    np.testing.assert_array_equal(t1.labels, t8.labels)
+
+
 def test_solver_train_runs_on_8dev_mesh(tiny_data, tmp_path):
     """Full Solver.train() (rounds + epochs + logging + snapshot) executes
     on the 8-device mesh end to end."""
