@@ -44,7 +44,7 @@ from pose3d_tpu.config import Config
 from pose3d_tpu.data import hdf5cache
 from pose3d_tpu.data.benchmarks import Benchmark, load_benchmark
 from pose3d_tpu.ops import quaternion as Q
-from pose3d_tpu.ops.geometry import depth2normals
+from pose3d_tpu.ops.geometry import depth2normals, depth2normals_at
 from pose3d_tpu.ops.patch import sample_patch, sample_patches
 from pose3d_tpu.ops.sphere import create_view_poses
 from pose3d_tpu.render.mesh import Mesh, load_mesh
@@ -302,6 +302,24 @@ def _pow2_at_least(n: int, floor: int) -> int:
     return max(floor, 1 << (max(n, 1) - 1).bit_length())
 
 
+def _speculative_capacity(backend: str, bucket: int, f_floor: int,
+                          cap_floor: int) -> tuple[int, int]:
+    """(capacity, global_capacity) for a deferred-overflow render.
+
+    On TPU the capacity scales with the FACE BUCKET: per-tile overlap
+    grows ~linearly with face density at a fixed screen size, so the flat
+    floor (sized for <=2048-face LineMOD-density meshes) would make every
+    dense mesh (e.g. a subdiv-4 icosphere, 5120 faces) overflow and pay a
+    probe sync + a full re-render + one more program-variant load through
+    the tunnel.  Deriving the scale from the bucket (not exact F) keeps
+    the program count at one per bucket.  CPU keeps the flat floor: its
+    tight buckets would over-allocate ~8x, and with local compiles + no
+    executable-load tax the overflow retry it avoids is cheap there.
+    """
+    scale = max(1, bucket // f_floor) if backend == "tpu" else 1
+    return cap_floor * scale, (cap_floor if backend == "tpu" else 256) * scale
+
+
 def _patch_from_slots(dep, slot, pair_faces, attrs, texture, textured,
                       oxw, oyw, z, fx, fy):
     """Patch extraction straight from (depth, winner slots) of ONE view.
@@ -334,8 +352,10 @@ def _patch_from_slots(dep, slot, pair_faces, attrs, texture, textured,
         rgb = sample_texture_nearest(col_sub[..., 0], col_sub[..., 1],
                                      texture)
         col_sub = jnp.where((dep_sub > 0.0)[..., None], rgb, 0.0)
-    nor = depth2normals(dep, fx, fy)
-    nor_sub = nor[ys][:, xs]
+    # normals ONLY at the tap pixels: the 9-tap plane fit gathers its own
+    # neighborhoods, so the full-window normal map (the dominant VPU term
+    # of this epilogue) never materializes — bit-identical to indexing it
+    nor_sub = depth2normals_at(dep, ys, xs, fx, fy)
     six_sub = jnp.concatenate([col_sub * 255.0, nor_sub], axis=-1)
     d_near = dep[gyn[:, None], gxn[None, :]]
     return combine_patch_taps(six_sub, d_near, ax, ay, z)
@@ -536,11 +556,11 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     if defer_overflow:
         if to_host:
             raise ValueError("defer_overflow requires to_host=False")
-        # speculative: the shared floor capacity fits every LineMOD-density
-        # mesh; a denser mesh just flags overflow and retries via the
-        # probing path below — no per-mesh probe sync
-        capacity = cap_floor
-        global_cap = cap_floor if backend == "tpu" else 256
+        # speculative, no per-mesh probe sync: capacity from the face
+        # bucket (see _speculative_capacity); an even denser mesh still
+        # just flags overflow and retries via the probing path below
+        capacity, global_cap = _speculative_capacity(
+            backend, bucket, f_floor, cap_floor)
     else:
         # capacity rounds to 512-multiples: coarse enough to bound compiled
         # program variants, fine enough not to inflate the per-tile gather

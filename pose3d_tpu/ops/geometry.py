@@ -70,6 +70,55 @@ def depth2normals(depth: jnp.ndarray, fx: float, fy: float) -> jnp.ndarray:
     return jnp.where(valid[..., None], n, 0.0)
 
 
+def depth2normals_at(depth: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray,
+                     fx: float, fy: float) -> jnp.ndarray:
+    """`depth2normals(depth, fx, fy)[ys][:, xs]` without computing the
+    full-window normal map.
+
+    The plane fit reads exactly 9 depth taps at offsets {-3, 0, 3}^2, so
+    the normals at the `len(ys) x len(xs)` pixel subgrid need only 9
+    gathered depth planes — the patch path consumes normals at ~130^2
+    resample-tap pixels of a ~294^2 render window, and the full-window fit
+    was the dominant VPU term of the sparse patch epilogue
+    (PROFILE_GEN_r3.json sparse_post).  Bit-identical to indexing the
+    full-window result: same taps, same arithmetic order per pixel.
+    """
+    H, W = depth.shape
+    d = depth[ys][:, xs].astype(jnp.float32)
+
+    A00 = jnp.zeros_like(d)
+    A01 = jnp.zeros_like(d)
+    A11 = jnp.zeros_like(d)
+    b0 = jnp.zeros_like(d)
+    b1 = jnp.zeros_like(d)
+
+    pad = jnp.pad(depth.astype(jnp.float32), _N)
+    for dj in (-_N, 0, _N):
+        rows = pad[ys + _N + dj]            # [Ty, W + 2N] row gather
+        for di in (-_N, 0, _N):
+            nb = rows[:, xs + _N + di]      # [Ty, Tx]
+            delta = nb - d
+            f = (jnp.abs(delta) < _GATE).astype(jnp.float32)
+            A00 = A00 + f * (di * di)
+            A01 = A01 + f * (di * dj)
+            A11 = A11 + f * (dj * dj)
+            b0 = b0 + f * di * delta
+            b1 = b1 + f * dj * delta
+
+    nx = (A11 * b0 - A01 * b1) * fx
+    ny = (-A01 * b0 + A00 * b1) * fy
+    nz = (A00 * A11 - A01 * A01) * d
+
+    n = jnp.stack([nx, ny, nz], axis=-1)
+    sq = jnp.sum(n * n, axis=-1, keepdims=True)
+    n = jnp.where(sq > 0, n * jax.lax.rsqrt(jnp.where(sq > 0, sq, 1.0)), 0.0)
+
+    interior = (((ys >= _N) & (ys < H - _N - 1))[:, None] &
+                ((xs >= _N) & (xs < W - _N - 1))[None, :])
+    valid = interior & (d > 0)
+    return jnp.where(valid[..., None], n, 0.0)
+
+
 def depth2cloud(depth: jnp.ndarray, fx: float, fy: float,
                 ox: float, oy: float) -> jnp.ndarray:
     """Back-project metric depth [H, W] to a camera-frame point cloud

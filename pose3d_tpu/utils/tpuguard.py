@@ -22,6 +22,18 @@ import time
 _PLUGIN_SITES = ("/root/.axon_site",)
 
 
+def _cpu_opt_out() -> bool:
+    """True when this process deliberately selected CPU — via the env var
+    or via jax.config.update("jax_platforms", "cpu") (both documented in
+    CLAUDE.md).  Without this check a deliberately-CPU process would burn
+    every retry re-exec'ing."""
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        return True
+    return (getattr(jax.config, "jax_platforms", None) or "").strip() \
+        == "cpu"
+
+
 def require_tpu(retries: int = 4, wait_s: int = 30,
                 env: str = "P3D_TPU_RETRY") -> bool:
     """Re-exec the current script until the TPU backend is up.
@@ -32,15 +44,16 @@ def require_tpu(retries: int = 4, wait_s: int = 30,
     CPU-only).  No-op when the process was explicitly pointed at CPU.
     """
     import jax
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
+    if _cpu_opt_out():
         return False
-    # the other documented CPU opt-out: jax.config.update("jax_platforms",
-    # "cpu") (CLAUDE.md) — without this check a deliberately-CPU process
-    # would burn every retry re-exec'ing
-    if (getattr(jax.config, "jax_platforms", None) or "").strip() == "cpu":
-        return False
-    if jax.default_backend() != "cpu":
-        return True
+    try:
+        if jax.default_backend() != "cpu":
+            return True
+    except RuntimeError as e:
+        # a pinned JAX_PLATFORMS whose backend init fails hard (tunnel
+        # outage: "Unable to initialize backend 'axon': UNAVAILABLE")
+        # raises instead of falling back — same recovery: wait + re-exec
+        print(f"TPU backend init raised: {e}", file=sys.stderr, flush=True)
     n = int(os.environ.get(env, "0"))
     # re-exec replays sys.argv — only possible for real script files.
     # ``python -m pkg.mod`` sets argv[0] to the module FILE; replaying it

@@ -183,6 +183,24 @@ def test_synth_samples_pair_deferred_overflow():
                                   np.asarray(pb.patches))
 
 
+def test_speculative_capacity_scales_with_bucket():
+    """TPU deferred renders size the tile capacity from the face bucket
+    (dense meshes would otherwise always overflow the flat floor and pay
+    probe + re-render + an extra program load); CPU keeps the flat floor
+    (tight buckets would over-allocate ~8x; retries are cheap locally).
+    The scale derives from the BUCKET so there stays exactly one program
+    per bucket."""
+    from pose3d_tpu.data.dataset import _speculative_capacity
+
+    # TPU floors: f_floor=2048, cap_floor=512
+    assert _speculative_capacity("tpu", 2048, 2048, 512) == (512, 512)
+    assert _speculative_capacity("tpu", 4096, 2048, 512) == (1024, 1024)
+    assert _speculative_capacity("tpu", 8192, 2048, 512) == (2048, 2048)
+    # CPU floors: f_floor=256, cap_floor=256 — flat regardless of bucket
+    assert _speculative_capacity("cpu", 2048, 256, 256) == (256, 256)
+    assert _speculative_capacity("cpu", 256, 256, 256) == (256, 256)
+
+
 def test_render_patches_deferred_requires_device():
     import pytest
     from pose3d_tpu.data.benchmarks import LINEMOD_K

@@ -74,6 +74,21 @@ def test_depth2normals_flat_plane_points_to_camera():
     np.testing.assert_allclose(inner[..., 0], 0.0, atol=1e-5)
 
 
+def test_depth2normals_at_bit_identical_to_full():
+    """The sparse tap-subgrid fit must equal indexing the full-window
+    normal map BITWISE (the production slot-sparse patch path relies on
+    it), including border/hole/discontinuity pixels and repeated indices
+    (bilinear floor/floor+1 taps can coincide)."""
+    dep = jnp.asarray(_synthetic_depth())
+    fx, fy = 572.4114, 573.5704
+    full = np.asarray(G.depth2normals(dep, fx, fy))
+    ys = jnp.asarray(np.array([0, 2, 3, 9, 10, 11, 12, 13, 13, 27, 31]))
+    xs = jnp.asarray(np.array([0, 3, 4, 5, 6, 24, 25, 26, 26, 36, 39]))
+    got = np.asarray(G.depth2normals_at(dep, ys, xs, fx, fy))
+    want = full[np.asarray(ys)][:, np.asarray(xs)]
+    np.testing.assert_array_equal(got, want)
+
+
 def test_depth2cloud():
     dep = _synthetic_depth(8, 8)
     fx = fy = 100.0

@@ -1,0 +1,69 @@
+"""Unit tests for the silent-CPU-fallback guard (utils/tpuguard.py).
+
+The guard protects every bench/profile script from reporting CPU numbers
+as TPU numbers (CLAUDE.md environment gotchas).  These tests cover its
+decision logic on CPU; the re-exec recovery itself only manifests on the
+tunneled device.
+"""
+
+import sys
+
+import pytest
+
+import jax
+
+from pose3d_tpu.utils import tpuguard
+
+
+def test_cpu_opt_out_env(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert tpuguard._cpu_opt_out()
+
+
+def test_cpu_opt_out_config(monkeypatch):
+    # the suite conftest forces the cpu platform through jax.config — the
+    # guard must recognize that opt-out (ADVICE r2) without consulting env
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    assert tpuguard._cpu_opt_out()
+
+
+def test_require_tpu_is_noop_on_deliberate_cpu():
+    # under the conftest's forced-cpu config this must return immediately
+    # (no sleeps, no re-exec) and report "not on an accelerator"
+    assert tpuguard.require_tpu() is False
+
+
+def test_require_tpu_survives_backend_init_raise(monkeypatch):
+    """A pinned platform whose backend init fails hard raises RuntimeError
+    from jax.default_backend() ("Unable to initialize backend 'axon':
+    UNAVAILABLE" during a tunnel outage).  The guard must treat that like
+    a CPU fallback — retry/return False — not crash the script."""
+    monkeypatch.setattr(tpuguard, "_cpu_opt_out", lambda: False)
+
+    def boom():
+        raise RuntimeError("Unable to initialize backend 'axon': "
+                           "UNAVAILABLE: TPU backend setup/compile error")
+
+    monkeypatch.setattr(jax, "default_backend", boom)
+    # retries exhausted -> must take the give-up path, not os.execv
+    monkeypatch.setenv("P3D_TPU_RETRY", "99")
+    assert tpuguard.require_tpu(retries=2, wait_s=0) is False
+
+
+def test_require_tpu_never_reexecs_python_dash_m(monkeypatch):
+    """python -m pkg.mod sets argv[0] to the module FILE; replaying it as
+    a plain script changes sys.path/package semantics, so the guard must
+    refuse to re-exec (ADVICE r2) and fall through to the warning path."""
+    monkeypatch.setattr(tpuguard, "_cpu_opt_out", lambda: False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    monkeypatch.setenv("P3D_TPU_RETRY", "0")
+
+    class FakeMain:
+        __package__ = "pose3d_tpu.scripts"
+
+    monkeypatch.setitem(sys.modules, "__main__", FakeMain())
+    execs = []
+    monkeypatch.setattr(tpuguard.os, "execv",
+                        lambda *a: execs.append(a))
+    assert tpuguard.require_tpu(retries=4, wait_s=0) is False
+    assert not execs
