@@ -81,6 +81,11 @@ class Config:
     # (LEARNING_r3.json records the side-by-side histograms); descriptors
     # themselves still come out float32.  Set "float32" to disable.
     serving_dtype: str = "bfloat16"
+    # device-resident sample storage: "bfloat16" halves the HBM held by the
+    # training/template tensors (the batcher promotes gathered batches back
+    # to f32) — required to fit the full 15-object LineMOD workload at
+    # subdiv 3 on one 16 GB chip (scripts/bench_e2e.py runs this mode)
+    storage_dtype: str = "float32"
     # icosphere subdivision for synthetic views (reference hardcodes 2/3,
     # src/datasetmanager.cpp:584-586); lower values for smoke tests
     template_subdiv: int = 2
@@ -116,6 +121,15 @@ class Config:
                 "{-1,0,1,2,3,4}")
         if self.learning_policy not in ("step", "fixed"):
             raise ValueError(f"config: unknown learning_policy {self.learning_policy!r}")
+        if self.compute_dtype not in ("float32", "float32_full", "bfloat16"):
+            raise ValueError(
+                f"config: compute_dtype={self.compute_dtype!r} not in "
+                "{float32, float32_full, bfloat16}")
+        for key in ("serving_dtype", "storage_dtype"):
+            v = getattr(self, key)
+            if v not in ("float32", "bfloat16"):
+                raise ValueError(
+                    f"config: {key}={v!r} not in {{float32, bfloat16}}")
 
 
 _BOOL_KEYS = {"inplane", "use_real", "use_simulated", "gpu", "binarization"}

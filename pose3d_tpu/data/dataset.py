@@ -233,7 +233,8 @@ def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
                          subdiv: int, inplane: bool,
                          scale_z: float = 0.4,
                          to_host: bool = True,
-                         n_shards: int = 1) -> SampleSet:
+                         n_shards: int = 1,
+                         out_dtype: str = "float32") -> SampleSet:
     """createSynthSamplesWadim (reference src/datasetmanager.cpp:498-537),
     rendering each view only inside the metric-crop window.
 
@@ -245,7 +246,7 @@ def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
     sw, sh, x0, y0, ox, oy = _synth_window(cam, scale_z)
     patches = _render_patches(mesh, cam, poses, sw, sh, x0, y0,
                               ox, oy, scale_z, to_host=to_host,
-                              n_shards=n_shards)
+                              n_shards=n_shards, out_dtype=out_dtype)
     return SampleSet(patches, poses_to_labels(class_idx, poses))
 
 
@@ -255,7 +256,8 @@ def create_synth_samples_pair(mesh: Mesh, cam: np.ndarray, class_idx: int,
                               to_host: bool = True,
                               defer_overflow: bool = False,
                               n_shards: int = 1,
-                              views_per_call: int | None = None):
+                              views_per_call: int | None = None,
+                              out_dtype: str = "float32"):
     """Templates + training views of one mesh in ONE render invocation.
 
     Behaviorally identical to two ``create_synth_samples`` calls (same
@@ -289,12 +291,13 @@ def create_synth_samples_pair(mesh: Mesh, cam: np.ndarray, class_idx: int,
         patches, overflow, retry_render = _render_patches(
             mesh, cam, poses_all, sw, sh, x0, y0, ox, oy, scale_z,
             to_host=to_host, defer_overflow=True, n_shards=n_shards,
-            views_per_call=views_per_call)
+            views_per_call=views_per_call, out_dtype=out_dtype)
         return split(patches) + (overflow, lambda: split(retry_render()))
 
     patches = _render_patches(mesh, cam, poses_all, sw, sh, x0, y0, ox, oy,
                               scale_z, to_host=to_host, n_shards=n_shards,
-                              views_per_call=views_per_call)
+                              views_per_call=views_per_call,
+                              out_dtype=out_dtype)
     return split(patches)
 
 
@@ -365,7 +368,7 @@ def _patch_from_slots(dep, slot, pair_faces, attrs, texture, textured,
 def _render_program(backend: str, textured: bool, sw: int, sh: int,
                     x0: int, y0: int, tile: int, capacity: int,
                     global_cap: int, fx: float, fy: float,
-                    n_shards: int = 1):
+                    n_shards: int = 1, out_dtype: str = "float32"):
     """Compile-once render -> normals -> patch program.
 
     Mesh data (vertices / faces / colors / texture) enters as ARGUMENTS
@@ -386,6 +389,8 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
     Returns (patches [C, Vc, 64, 64, 7], overflow bool scalar) where
     overflow reports any dropped geometry (tile-capacity or global-section
     overflow) across all chunks — callers re-render at a bigger capacity.
+    ``out_dtype`` is the patches' storage dtype (cast per chunk inside the
+    program): resident-training pipelines render straight to bf16.
     """
     # executed only on an lru_cache MISS — this is the compile event; a
     # datasets with per-object cameras/windows would otherwise silently
@@ -445,8 +450,14 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
     def render_body(verts, faces, colors, K, pose_chunks, texture,
                     oxw, oyw, z):
         def chunk(pc):
-            return chunk_patches(verts, faces, colors, K, pc, texture,
-                                 oxw, oyw, z)
+            pats, ovf = chunk_patches(verts, faces, colors, K, pc, texture,
+                                      oxw, oyw, z)
+            # storage-dtype cast INSIDE the per-chunk body: a bf16-resident
+            # pipeline (train/solver gathers cast back to f32 per batch)
+            # then never materializes the f32 patch set — at 15 objects x
+            # subdiv 3 that is ~2.5 GB of HBM growth during generation and
+            # a whole conversion pass after it
+            return pats.astype(jnp.dtype(out_dtype)), ovf
         patches, ovfs = jax.lax.map(chunk, pose_chunks)
         return patches, jnp.any(ovfs)
 
@@ -492,7 +503,8 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                     views_per_call: int | None = None,
                     to_host: bool = True,
                     defer_overflow: bool = False,
-                    n_shards: int = 1):
+                    n_shards: int = 1,
+                    out_dtype: str = "float32"):
     """Render -> normals -> patch for a pose batch, staying on device under
     one dispatch per mesh (see _render_program).
 
@@ -602,7 +614,8 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     chunks = jnp.asarray(padded).reshape(-1, views_per_call, 4, 4)
     if defer_overflow:
         program = _render_program(backend, textured, sw, sh, x0, y0, tile,
-                                  capacity, global_cap, fx, fy, n_shards)
+                                  capacity, global_cap, fx, fy, n_shards,
+                                  out_dtype)
         full, overflow = program(verts, faces, colors, K, chunks, texture,
                                  jnp.float32(ox - x0),
                                  jnp.float32(oy - y0), jnp.float32(z))
@@ -610,7 +623,8 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
         def retry():
             return _render_patches(mesh, cam, poses, sw, sh, x0, y0, ox,
                                    oy, z, views_per_call=views_per_call,
-                                   to_host=False, n_shards=n_shards)
+                                   to_host=False, n_shards=n_shards,
+                                   out_dtype=out_dtype)
         return full.reshape(-1, 64, 64, 7)[:V], overflow, retry
 
     # a pose outside the probe spread can still exceed the sized capacity;
@@ -618,7 +632,8 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     # of silently training on patches with holes
     for attempt in range(3):
         program = _render_program(backend, textured, sw, sh, x0, y0, tile,
-                                  capacity, global_cap, fx, fy, n_shards)
+                                  capacity, global_cap, fx, fy, n_shards,
+                                  out_dtype)
         full, overflow = program(verts, faces, colors, K, chunks, texture,
                                  jnp.float32(ox - x0), jnp.float32(oy - y0),
                                  jnp.float32(z))
@@ -826,9 +841,13 @@ class DatasetManager:
     def to_device(self, storage_dtype=None) -> DeviceData:
         """Assemble the device-resident tensors.  ``storage_dtype=
         jnp.bfloat16`` halves the resident sample memory (the batcher
-        promotes gathered batches back to f32)."""
+        promotes gathered batches back to f32).  ``None`` takes the
+        config's ``storage_dtype`` knob (the CLI path)."""
         cfg = self.cfg
-        sd = storage_dtype or jnp.float32
+        if storage_dtype is None:
+            storage_dtype = (jnp.bfloat16 if cfg.storage_dtype == "bfloat16"
+                             else jnp.float32)
+        sd = storage_dtype
         train_p = jnp.asarray(
             np.stack([s.patches for s in self.training_set]), sd)
         train_l = jnp.asarray(np.stack([s.labels for s in self.training_set]))
@@ -839,16 +858,15 @@ class DatasetManager:
             np.stack([s.patches for s in self.test_set]), sd)
         test_l = jnp.asarray(np.stack([s.labels for s in self.test_set]))
 
-        # top-2 similar templates, per object (one-shot XLA programs)
-        sims = []
-        for o in range(train_l.shape[0]):
-            if cfg.inplane:
-                sims.append(Q.top2_similar_templates(train_l[o, :, 1:5],
-                                                     tmpl_l[o, :, 1:5]))
-            else:
-                sims.append(Q.top2_similar_templates_trans(
-                    train_l[o, :, 5:8], tmpl_l[o, :, 5:8]))
-        max_sim = jnp.stack(sims)
+        # top-2 similar templates, all objects in ONE program (a per-object
+        # Python loop costs O async dispatches, ~100 ms each through a
+        # tunneled device)
+        if cfg.inplane:
+            max_sim = Q.top2_similar_templates_all(
+                train_l[:, :, 1:5], tmpl_l[:, :, 1:5])
+        else:
+            max_sim = Q.top2_similar_templates_trans_all(
+                train_l[:, :, 5:8], tmpl_l[:, :, 5:8])
 
         elev = Q.elevation(tmpl_l[..., 1:5])          # [O, T]
         elev_ok = jnp.abs(elev[:, :, None] - elev[:, None, :]) >= ELEV_GATE

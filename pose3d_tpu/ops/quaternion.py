@@ -157,6 +157,14 @@ def top2_similar_templates_trans(train_t: jnp.ndarray,
     return jnp.stack([best, second], axis=1).astype(jnp.int32)
 
 
+# Batched-over-objects variants, jitted ONCE at module level: callers
+# assembling an O-object dataset get one dispatch instead of O (and per-call
+# jax.jit(...) wrappers would rebuild the trace cache every call).
+top2_similar_templates_all = jax.jit(jax.vmap(top2_similar_templates))
+top2_similar_templates_trans_all = jax.jit(
+    jax.vmap(top2_similar_templates_trans))
+
+
 def nearest_template(train_q: jnp.ndarray, tmpl_q: jnp.ndarray) -> jnp.ndarray:
     """Argmin over templates of angular distance, for the real->template
     train/test split assignment (reference src/datasetmanager.cpp:631-644)."""

@@ -133,9 +133,13 @@ class Solver:
         return jax.device_put(state, sharding)
 
     def _dummy_knn(self):
-        O, Ntr = self.data.nr_objects, self.data.nr_training_poses
-        return (jnp.zeros((O, Ntr, 4), jnp.int32),
-                jnp.zeros((O, Ntr), bool))
+        # cached: the tables are identical every round, and each rebuild
+        # costs a device dispatch (~100 ms latency through a tunneled link)
+        if not hasattr(self, "_dummy_knn_cache"):
+            O, Ntr = self.data.nr_objects, self.data.nr_training_poses
+            self._dummy_knn_cache = (jnp.zeros((O, Ntr, 4), jnp.int32),
+                                     jnp.zeros((O, Ntr), bool))
+        return self._dummy_knn_cache
 
     def _build_batch(self, kb, it, data, bootstrapping, knn_tables):
         """Trace-time dispatch to the spec's batch layout."""
@@ -170,6 +174,14 @@ class Solver:
                 self.mesh.size)
         return batch
 
+    def _boot_flag(self, bootstrapping: bool) -> jnp.ndarray:
+        """The traced bootstrapping flag as a cached device scalar — a fresh
+        ``jnp.asarray(bool)`` per epoch costs one tiny host->device transfer
+        (~100 ms latency each through a tunneled link)."""
+        if not hasattr(self, "_boot_flags"):
+            self._boot_flags = {b: jnp.asarray(b) for b in (False, True)}
+        return self._boot_flags[bool(bootstrapping)]
+
     def _train_step(self, bootstrapping: bool):
         """The jitted step, partially applied to a bootstrapping mode.
 
@@ -202,10 +214,10 @@ class Solver:
 
             self._steps["step"] = jax.jit(step, donate_argnums=(0,))
         jitted = self._steps["step"]
+        flag = self._boot_flag(bootstrapping)
 
         def run(state, data, knn_tables, it):
-            return jitted(state, data, knn_tables, it,
-                          jnp.asarray(bootstrapping))
+            return jitted(state, data, knn_tables, it, flag)
         return run
 
     def _train_epoch(self, bootstrapping: bool):
@@ -247,10 +259,10 @@ class Solver:
 
             self._steps["epoch"] = jax.jit(epoch, donate_argnums=(0,))
         jitted = self._steps["epoch"]
+        flag = self._boot_flag(bootstrapping)
 
         def run(state, data, knn_tables):
-            return jitted(state, data, knn_tables,
-                          jnp.asarray(bootstrapping))
+            return jitted(state, data, knn_tables, flag)
         return run
 
     # --------------------------------------------------------------- kNN

@@ -76,14 +76,11 @@ def light_tables(train_labels: np.ndarray, tmpl_labels: np.ndarray,
     O, Ntr = train_labels.shape[:2]
     T = tmpl_labels.shape[1]
     if inplane:
-        sims = jnp.stack([Q.top2_similar_templates(train_labels[o, :, 1:5],
-                                                   tmpl_labels[o, :, 1:5])
-                          for o in range(O)])
+        sims = Q.top2_similar_templates_all(
+            train_labels[:, :, 1:5], tmpl_labels[:, :, 1:5])
     else:
-        sims = jnp.stack([
-            Q.top2_similar_templates_trans(train_labels[o, :, 5:8],
-                                           tmpl_labels[o, :, 5:8])
-            for o in range(O)])
+        sims = Q.top2_similar_templates_trans_all(
+            train_labels[:, :, 5:8], tmpl_labels[:, :, 5:8])
     elev = Q.elevation(tmpl_labels[..., 1:5])
     dummy = jnp.zeros((O, 1, 1, 1, 1))
     return DeviceData(

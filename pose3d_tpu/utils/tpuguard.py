@@ -34,6 +34,30 @@ def _cpu_opt_out() -> bool:
         == "cpu"
 
 
+def _probe_backend(timeout_s: float) -> str:
+    """Backend init in a THROWAWAY subprocess under a hard timeout.
+
+    A hung tunnel blocks backend init inside the PJRT C API for tens of
+    minutes and the blocked thread never handles SIGTERM (observed: 33 min
+    before "UNAVAILABLE" surfaced) — probing in-process would hang the
+    script unrecoverably, and so would ``timeout`` without ``-k``.
+    subprocess.run's timeout SIGKILLs.  Returns "up" / "down" / "hang".
+    """
+    import subprocess
+    root = os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                        "..", ".."))
+    code = ("import sys; sys.path.insert(0, %r); "
+            "import pose3d_tpu, jax; "
+            "sys.exit(0 if jax.default_backend() != 'cpu' else 3)" % root)
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        return "up" if r.returncode == 0 else "down"
+    except subprocess.TimeoutExpired:
+        return "hang"
+
+
 def require_tpu(retries: int = 4, wait_s: int = 30,
                 env: str = "P3D_TPU_RETRY") -> bool:
     """Re-exec the current script until the TPU backend is up.
@@ -42,10 +66,47 @@ def require_tpu(retries: int = 4, wait_s: int = 30,
     before the first retry.  Returns True when running on an accelerator;
     False when retries are exhausted (caller should label its output as
     CPU-only).  No-op when the process was explicitly pointed at CPU.
+
+    Before touching the backend IN-PROCESS, a subprocess probe
+    (``P3D_TPU_PROBE_TIMEOUT`` seconds, default 240; 0 disables) checks
+    that init terminates at all: a hung tunnel otherwise blocks
+    ``jax.default_backend()`` in C code indefinitely.  When every probe
+    hangs/fails the guard forces the cpu platform so the caller runs —
+    and labels — a CPU fallback instead of hanging forever.
     """
     import jax
     if _cpu_opt_out():
         return False
+    # repair PYTHONPATH up front: the probe subprocess and any re-exec
+    # both inherit it
+    pp = os.environ.get("PYTHONPATH", "")
+    parts = [p for p in pp.split(":") if p]
+    for site in _PLUGIN_SITES:
+        if os.path.isdir(site) and site not in parts:
+            parts.append(site)
+            print(f"PYTHONPATH was missing {site} (the TPU plugin "
+                  "site dir) — repairing", file=sys.stderr, flush=True)
+    os.environ["PYTHONPATH"] = ":".join(parts)
+
+    probe_timeout = float(os.environ.get("P3D_TPU_PROBE_TIMEOUT", "240"))
+    if probe_timeout > 0:
+        for attempt in range(retries + 1):
+            status = _probe_backend(probe_timeout)
+            if status == "up":
+                break
+            print(f"TPU probe {status} (attempt {attempt + 1}/"
+                  f"{retries + 1})", file=sys.stderr, flush=True)
+            if attempt < retries:
+                time.sleep(wait_s)
+        else:
+            print("WARNING: TPU backend unreachable (probe hung/failed "
+                  "every attempt) — forcing cpu platform; measurements "
+                  "below are NOT TPU numbers", file=sys.stderr, flush=True)
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+            return False
     try:
         if jax.default_backend() != "cpu":
             return True
@@ -62,15 +123,7 @@ def require_tpu(retries: int = 4, wait_s: int = 30,
     can_reexec = (bool(sys.argv) and os.path.exists(sys.argv[0])
                   and not main_pkg)
     if n < retries and can_reexec:
-        pp = os.environ.get("PYTHONPATH", "")
-        parts = [p for p in pp.split(":") if p]
-        for site in _PLUGIN_SITES:
-            if os.path.isdir(site) and site not in parts:
-                parts.append(site)
-                print(f"PYTHONPATH was missing {site} (the TPU plugin "
-                      "site dir) — repairing and re-exec'ing",
-                      file=sys.stderr, flush=True)
-        os.environ["PYTHONPATH"] = ":".join(parts)
+        # (PYTHONPATH was already repaired above; the re-exec inherits it)
         delay = 0 if n == 0 else wait_s      # first retry: repair only
         print(f"TPU init failed (attempt {n + 1}/{retries}); "
               f"re-exec in {delay} s", file=sys.stderr, flush=True)

@@ -87,9 +87,12 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
     for i, (name, (kind, size, detail)) in enumerate(zip(names, shapes)):
         mesh = make_test_mesh(kind, size, detail=detail)
         idx = cfg.model_index[name]
+        # bf16 straight out of the render program: sample storage is bf16
+        # anyway (see below) and rendering to it halves the HBM growth
+        # during generation and skips a whole f32->bf16 conversion pass
         tmpl, synth, overflow, retry = create_synth_samples_pair(
             mesh, LINEMOD_K, idx, 2, train_subdiv, True, to_host=False,
-            defer_overflow=True)
+            defer_overflow=True, out_dtype="bfloat16")
         n_views += len(tmpl.patches) + len(synth.patches)
         tmpl_p.append(tmpl.patches)
         tmpl_l.append(tmpl.labels)
@@ -119,9 +122,7 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
 
     t0 = time.time()
     # bf16 sample storage halves resident HBM: the 15-object subdiv-3 set
-    # does not fit in f32 on this chip
-    tmpl_p = [t.astype(jnp.bfloat16) for t in tmpl_p]
-    train_p = [t.astype(jnp.bfloat16) for t in train_p]
+    # does not fit in f32 on this chip (patches arrive bf16 from the render)
     tmpl_patches = jnp.stack(tmpl_p)
     tmpl_labels = jnp.asarray(np.stack(tmpl_l))
     # free the per-object device arrays before stacking the (2x larger)
@@ -135,10 +136,10 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
     O, T = tmpl_patches.shape[:2]
     Ntr = train_patches.shape[1]
 
-    sims = jnp.stack([
-        Q.top2_similar_templates(train_labels[o, :, 1:5],
-                                 tmpl_labels[o, :, 1:5])
-        for o in range(O)])
+    # one dispatch for all objects' similarity tables (a per-object Python
+    # loop costs 15 tunnel dispatches)
+    sims = Q.top2_similar_templates_all(train_labels[:, :, 1:5],
+                                        tmpl_labels[:, :, 1:5])
     elev = Q.elevation(tmpl_labels[..., 1:5])
     data = DeviceData(
         train_patches=train_patches, train_labels=train_labels,

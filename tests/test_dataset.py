@@ -96,6 +96,22 @@ def test_device_data_and_batcher(tmp_path, monkeypatch):
     assert epoch_iters(data, cfg.batch_size) == max(1, O * Ntr // groups)
 
 
+def test_to_device_storage_dtype_from_config(tmp_path, monkeypatch):
+    """The config's storage_dtype knob drives the resident sample dtype
+    (CLI path: Solver gets bf16-resident tensors, batches promote to f32)."""
+    import dataclasses
+    from fixtures import fixture_db
+    db, cfg = fixture_db(None, monkeypatch)
+    db.cfg = dataclasses.replace(cfg, storage_dtype="bfloat16")
+    try:
+        data = db.to_device()
+        assert data.train_patches.dtype == jnp.bfloat16
+        assert data.tmpl_patches.dtype == jnp.bfloat16
+        assert data.train_labels.dtype == jnp.float32   # labels stay f32
+    finally:
+        db.cfg = cfg
+
+
 def test_batcher_pusher2_other_class(tmp_path, monkeypatch):
     data, cfg = _cached_device_data(monkeypatch)
     from pose3d_tpu.data.batcher import batch_indices
@@ -181,6 +197,28 @@ def test_synth_samples_pair_deferred_overflow():
                                   np.asarray(pa.patches))
     np.testing.assert_array_equal(np.asarray(rb.patches),
                                   np.asarray(pb.patches))
+
+
+def test_synth_samples_out_dtype_bf16():
+    """out_dtype='bfloat16' must emit exactly the f32 patches rounded to
+    bf16 (the cast happens on the final per-chunk patches, nothing else
+    changes) — the resident-training pipeline renders straight to its bf16
+    storage dtype instead of paying a conversion pass."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pose3d_tpu.data.benchmarks import LINEMOD_K
+    from pose3d_tpu.data.dataset import create_synth_samples
+    from pose3d_tpu.render import make_test_mesh
+
+    mesh = make_test_mesh("cube", 0.1)
+    f32 = create_synth_samples(mesh, LINEMOD_K, 3, 0, True, to_host=False)
+    b16 = create_synth_samples(mesh, LINEMOD_K, 3, 0, True, to_host=False,
+                               out_dtype="bfloat16")
+    assert b16.patches.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(f32.patches.astype(jnp.bfloat16), dtype=np.float32),
+        np.asarray(b16.patches, dtype=np.float32))
+    np.testing.assert_array_equal(f32.labels, b16.labels)
 
 
 def test_speculative_capacity_scales_with_bucket():

@@ -104,3 +104,21 @@ def test_config_validation(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         load_config(str(p))
+
+
+def test_config_dtype_knobs(tmp_path):
+    p = tmp_path / "dt.ini"
+    p.write_text("[input]\nmodels = a\n"
+                 "[train]\nstorage_dtype = bfloat16\n")
+    cfg = load_config(str(p))
+    assert cfg.storage_dtype == "bfloat16"
+    assert cfg.serving_dtype == "bfloat16"      # default
+    assert cfg.compute_dtype == "float32"       # default
+
+    import dataclasses
+    import pytest
+    from pose3d_tpu.config import Config
+    for key in ("storage_dtype", "serving_dtype", "compute_dtype"):
+        with pytest.raises(ValueError):
+            dataclasses.replace(Config(models=["a"]),
+                                **{key: "float16"}).validate()

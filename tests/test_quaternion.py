@@ -69,6 +69,29 @@ def test_top2_similar_excludes_equal_distance():
     assert idx[0, 1] not in (0, 3)
 
 
+def test_top2_similar_all_matches_per_object_loop():
+    """The batched (one-dispatch) variants must reproduce the per-object
+    calls exactly — dataset assembly uses them over the O axis."""
+    rng = np.random.default_rng(8)
+    train_q = np.stack([random_rotations(6, seed=10 + o) for o in range(3)])
+    tmpl_q = np.stack([random_rotations(9, seed=20 + o) for o in range(3)])
+    got = np.asarray(Q.top2_similar_templates_all(jnp.asarray(train_q),
+                                                  jnp.asarray(tmpl_q)))
+    want = np.stack([np.asarray(Q.top2_similar_templates(
+        jnp.asarray(train_q[o]), jnp.asarray(tmpl_q[o])))
+        for o in range(3)])
+    np.testing.assert_array_equal(got, want)
+
+    train_t = rng.normal(size=(3, 6, 3)).astype(np.float32)
+    tmpl_t = rng.normal(size=(3, 9, 3)).astype(np.float32)
+    got_t = np.asarray(Q.top2_similar_templates_trans_all(
+        jnp.asarray(train_t), jnp.asarray(tmpl_t)))
+    want_t = np.stack([np.asarray(Q.top2_similar_templates_trans(
+        jnp.asarray(train_t[o]), jnp.asarray(tmpl_t[o])))
+        for o in range(3)])
+    np.testing.assert_array_equal(got_t, want_t)
+
+
 def test_nearest_template():
     tmpl = random_rotations(20, seed=7)
     train = tmpl[[3, 11, 19]]

@@ -39,6 +39,7 @@ def test_require_tpu_survives_backend_init_raise(monkeypatch):
     UNAVAILABLE" during a tunnel outage).  The guard must treat that like
     a CPU fallback — retry/return False — not crash the script."""
     monkeypatch.setattr(tpuguard, "_cpu_opt_out", lambda: False)
+    monkeypatch.setattr(tpuguard, "_probe_backend", lambda t: "up")
 
     def boom():
         raise RuntimeError("Unable to initialize backend 'axon': "
@@ -50,11 +51,50 @@ def test_require_tpu_survives_backend_init_raise(monkeypatch):
     assert tpuguard.require_tpu(retries=2, wait_s=0) is False
 
 
+def test_require_tpu_hung_tunnel_forces_cpu(monkeypatch):
+    """A HUNG tunnel blocks backend init in C code for tens of minutes
+    (SIGTERM-immune) — the guard must detect it via the subprocess probe
+    and force the cpu platform (labeled fallback) instead of hanging the
+    script forever, and must never re-exec (the replay would hang too)."""
+    monkeypatch.setattr(tpuguard, "_cpu_opt_out", lambda: False)
+    probes = []
+
+    def fake_probe(timeout_s):
+        probes.append(timeout_s)
+        return "hang"
+
+    monkeypatch.setattr(tpuguard, "_probe_backend", fake_probe)
+    execs = []
+    monkeypatch.setattr(tpuguard.os, "execv", lambda *a: execs.append(a))
+    forced = []
+    monkeypatch.setattr(jax.config, "update",
+                        lambda *a: forced.append(a))
+    assert tpuguard.require_tpu(retries=2, wait_s=0) is False
+    assert len(probes) == 3          # initial + 2 retries
+    assert not execs
+    assert ("jax_platforms", "cpu") in forced
+
+
+def test_require_tpu_probe_disabled_by_env(monkeypatch):
+    """P3D_TPU_PROBE_TIMEOUT=0 skips the subprocess probe entirely (the
+    in-process path must still run)."""
+    monkeypatch.setattr(tpuguard, "_cpu_opt_out", lambda: False)
+    monkeypatch.setenv("P3D_TPU_PROBE_TIMEOUT", "0")
+
+    def no_probe(timeout_s):
+        raise AssertionError("probe must not run when disabled")
+
+    monkeypatch.setattr(tpuguard, "_probe_backend", no_probe)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert tpuguard.require_tpu() is True
+
+
 def test_require_tpu_never_reexecs_python_dash_m(monkeypatch):
     """python -m pkg.mod sets argv[0] to the module FILE; replaying it as
     a plain script changes sys.path/package semantics, so the guard must
     refuse to re-exec (ADVICE r2) and fall through to the warning path."""
     monkeypatch.setattr(tpuguard, "_cpu_opt_out", lambda: False)
+    monkeypatch.setattr(tpuguard, "_probe_backend", lambda t: "up")
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     monkeypatch.setenv("P3D_TPU_RETRY", "0")
 
