@@ -90,6 +90,11 @@ class Config:
     # src/datasetmanager.cpp:584-586); lower values for smoke tests
     template_subdiv: int = 2
     training_subdiv: int = 3
+    # opt-in: parity-packed conv+pool stem in the TRAINING step (same
+    # multiply-add terms, reassociated; 4x MXU lane occupancy, no
+    # full-resolution conv intermediate).  Measured SLOWER for the serving
+    # forward — flip only with PROFILE_BWD evidence for fwd+bwd.
+    train_fused_stem: bool = False
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:
@@ -132,7 +137,8 @@ class Config:
                     f"config: {key}={v!r} not in {{float32, bfloat16}}")
 
 
-_BOOL_KEYS = {"inplane", "use_real", "use_simulated", "gpu", "binarization"}
+_BOOL_KEYS = {"inplane", "use_real", "use_simulated", "gpu", "binarization",
+              "train_fused_stem"}
 _INT_KEYS = {"num_epochs", "num_training_rounds", "num_bootstrapping_rounds",
              "step_size", "binarization_epochs", "random_background", "knn",
              "log_epoch", "batch_size", "seed", "data_parallel",

@@ -199,7 +199,8 @@ class Solver:
                 def loss_fn(params):
                     desc = apply(params, spec, batch,
                                  compute_dtype=self.compute_dtype,
-                                 precision=self.precision)
+                                 precision=self.precision,
+                                 fused_stem=self.cfg.train_fused_stem)
                     return losses.spec_loss(desc, spec.loss_slices,
                                             spec.margin)
 
@@ -241,7 +242,8 @@ class Solver:
                     def loss_fn(params):
                         desc = apply(params, spec, batch,
                                      compute_dtype=self.compute_dtype,
-                                     precision=self.precision)
+                                     precision=self.precision,
+                                     fused_stem=self.cfg.train_fused_stem)
                         return losses.spec_loss(desc, spec.loss_slices,
                                                 spec.margin)
 

@@ -38,7 +38,14 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
         jax.config.update("jax_platforms", "cpu")
     else:
         from pose3d_tpu.utils.tpuguard import require_tpu
-        require_tpu()
+        if not require_tpu():
+            # a full-scale CPU run takes ~26 h (BENCH_E2E_CPU.json) — an
+            # unlabeled fallback would hold the round hostage; the scaled
+            # CPU denominator is the explicit --cpu mode
+            print("TPU unavailable; refusing the full-scale workload on "
+                  "CPU (use --cpu for the scaled-down baseline)",
+                  file=sys.stderr)
+            return 1
     jax.config.update("jax_compilation_cache_dir", "/tmp/p3d_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
@@ -217,5 +224,5 @@ if __name__ == "__main__":
 
     def opt(name, default):
         return int(args[args.index(name) + 1]) if name in args else default
-    main(base, opt("--rounds", 3), opt("--objects", 15),
-         opt("--train-subdiv", 3), cpu="--cpu" in args)
+    sys.exit(main(base, opt("--rounds", 3), opt("--objects", 15),
+                  opt("--train-subdiv", 3), cpu="--cpu" in args))

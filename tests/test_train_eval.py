@@ -68,6 +68,31 @@ def test_solver_trains_and_loss_decreases(tmp_path, monkeypatch):
     assert np.isfinite(float(loss2))
 
 
+def test_solver_fused_stem_matches_plain(tmp_path, monkeypatch):
+    """train_fused_stem=True runs the SAME training (same mining RNG, same
+    loss terms, reassociated stem arithmetic): per-step losses must agree
+    to f32 reassociation tolerance with the plain path."""
+    import dataclasses
+    data, cfg = _cached_device_data(monkeypatch)
+
+    def run(fused):
+        cfg2 = dataclasses.replace(
+            cfg, output_path="", num_training_rounds=1,
+            num_bootstrapping_rounds=0, random_background=1,
+            compute_dtype="float32_full", train_fused_stem=fused)
+        solver = Solver(cfg2, data)
+        state = solver.init_state()
+        step = solver._train_step(False)
+        knn = solver._dummy_knn()
+        out = []
+        for it in range(3):
+            state, loss = step(state, data, knn, jnp.int32(it))
+            out.append(float(loss))
+        return out
+
+    np.testing.assert_allclose(run(False), run(True), rtol=1e-4)
+
+
 def test_knn_tables_shapes_and_self_retrieval(tmp_path, monkeypatch):
     data, cfg = _cached_device_data(monkeypatch)
     spec = NETWORKS[cfg.net_name]
