@@ -29,7 +29,25 @@ def _normalize_platform():
     explicit overrides (tests forcing ``cpu`` via jax.config) still win
     because they run before first device use too.
     """
-    if _os.environ.get("JAX_PLATFORMS") != "axon":
+    env = _os.environ.get("JAX_PLATFORMS")
+    if env and env != "axon":
+        # e.g. JAX_PLATFORMS=cpu: on the force-selecting image revision the
+        # plugin overrides the env var and still initializes the tunneled
+        # backend (observed: a cpu-pinned CLI subprocess dying on "Unable
+        # to initialize backend 'axon'" during a tunnel outage).  Mirror
+        # the explicit env choice into jax.config, which does win.
+        try:
+            import jax
+            cur = jax.config.jax_platforms
+            # the plugin imposes e.g. "axon,cpu" (axon first — and a DEAD
+            # tunnel raises instead of falling through to cpu); anything
+            # axon-leading or unset is plugin-imposed, not a user choice
+            if cur in (None, "", env) or str(cur).startswith("axon"):
+                jax.config.update("jax_platforms", env)
+        except Exception:
+            pass  # backend already initialized (choice already made)
+        return
+    if env != "axon":
         return
     _os.environ["JAX_PLATFORMS"] = ""          # subprocesses inherit the fix
     try:

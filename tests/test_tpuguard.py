@@ -51,6 +51,26 @@ def test_require_tpu_survives_backend_init_raise(monkeypatch):
     assert tpuguard.require_tpu(retries=2, wait_s=0) is False
 
 
+def test_env_cpu_wins_over_force_selecting_plugin():
+    """JAX_PLATFORMS=cpu + `import pose3d_tpu` must select cpu even on the
+    image revision whose plugin force-prepends axon to jax.config (a dead
+    tunnel then raises instead of falling through to cpu — observed killing
+    the CLI e2e subprocess during an outage)."""
+    import os
+    import subprocess
+    import pose3d_tpu
+    root = os.path.dirname(os.path.dirname(os.path.abspath(
+        pose3d_tpu.__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, %r); import pose3d_tpu, jax; "
+         "print('CFG=' + str(jax.config.jax_platforms))" % root],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert "CFG=cpu" in r.stdout
+
+
 def test_require_tpu_hung_tunnel_forces_cpu(monkeypatch):
     """A HUNG tunnel blocks backend init in C code for tens of minutes
     (SIGTERM-immune) — the guard must detect it via the subprocess probe
