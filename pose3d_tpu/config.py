@@ -126,15 +126,19 @@ class Config:
                 "{-1,0,1,2,3,4}")
         if self.learning_policy not in ("step", "fixed"):
             raise ValueError(f"config: unknown learning_policy {self.learning_policy!r}")
-        if self.compute_dtype not in ("float32", "float32_full", "bfloat16"):
-            raise ValueError(
-                f"config: compute_dtype={self.compute_dtype!r} not in "
-                "{float32, float32_full, bfloat16}")
-        for key in ("serving_dtype", "storage_dtype"):
+        # compute/serving accept the bit-parity mode float32_full
+        # (precision_from_config maps it to precision='highest');
+        # storage is a memory layout — only real dtypes make sense
+        for key in ("compute_dtype", "serving_dtype"):
             v = getattr(self, key)
-            if v not in ("float32", "bfloat16"):
+            if v not in ("float32", "float32_full", "bfloat16"):
                 raise ValueError(
-                    f"config: {key}={v!r} not in {{float32, bfloat16}}")
+                    f"config: {key}={v!r} not in "
+                    "{float32, float32_full, bfloat16}")
+        if self.storage_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"config: storage_dtype={self.storage_dtype!r} not in "
+                "{float32, bfloat16}")
 
 
 _BOOL_KEYS = {"inplane", "use_real", "use_simulated", "gpu", "binarization",

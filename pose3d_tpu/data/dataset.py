@@ -845,8 +845,7 @@ class DatasetManager:
         config's ``storage_dtype`` knob (the CLI path)."""
         cfg = self.cfg
         if storage_dtype is None:
-            storage_dtype = (jnp.bfloat16 if cfg.storage_dtype == "bfloat16"
-                             else jnp.float32)
+            storage_dtype = jnp.dtype(cfg.storage_dtype)
         sd = storage_dtype
         train_p = jnp.asarray(
             np.stack([s.patches for s in self.training_set]), sd)

@@ -7,7 +7,9 @@ wall time per mesh: the first mesh of each (face-bucket, capacity)
 program pays the executable load, dense meshes (bucket 8192, capacity
 2048) pay a bigger per-view kernel.  Writes PROFILE_GEN_MESHES.json.
 
-Run on TPU:  PYTHONPATH=. python scripts/profile_gen_meshes.py
+Run on TPU:  python scripts/profile_gen_meshes.py
+(plain `python` from the repo root — the script inserts its own sys.path;
+NEVER `PYTHONPATH=.` which clobbers the ambient TPU-plugin site dir)
 """
 
 import json
@@ -23,7 +25,12 @@ import numpy as np
 def main():
     import jax
     from pose3d_tpu.utils.tpuguard import require_tpu
-    require_tpu()
+    if not require_tpu():
+        # the 15-mesh subdiv-3 workload on a CPU fallback runs for hours
+        # and would overwrite the artifact with CPU-platform rows
+        print("TPU unavailable; refusing the full render workload on CPU",
+              file=sys.stderr)
+        return 1
     jax.config.update("jax_compilation_cache_dir", "/tmp/p3d_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
@@ -40,9 +47,12 @@ def main():
     for i, (kind, size, detail) in enumerate(SHAPES):
         mesh = make_test_mesh(kind, size, detail=detail)
         t0 = time.time()
+        # bfloat16 like bench_e2e's generation phase: out_dtype is part of
+        # the program cache key, so f32 here would time (and pay the
+        # executable-load tax for) program variants the bench never runs
         tmpl, synth, overflow, _ = create_synth_samples_pair(
             mesh, LINEMOD_K, i, 2, 3, True, to_host=False,
-            defer_overflow=True)
+            defer_overflow=True, out_dtype="bfloat16")
         # BLOCK: attribute this mesh's device time to this mesh
         synth.patches.block_until_ready()
         ovf = bool(jax.device_get(overflow))
@@ -71,4 +81,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -18,8 +18,11 @@ run() {
 }
 
 # 1. headline e2e (the artifact the judge reads) — twice: tunnel variance
+# (preserve each run's JSON; bench_e2e always writes base/out/bench_e2e.json)
 run bench_e2e_a   3600 python scripts/bench_e2e.py /tmp/p3d_bench_e2e --rounds 10
+cp -f /tmp/p3d_bench_e2e/out/bench_e2e.json "$LOG/bench_e2e_a.json" 2>/dev/null
 run bench_e2e_b   3600 python scripts/bench_e2e.py /tmp/p3d_bench_e2e --rounds 10
+cp -f /tmp/p3d_bench_e2e/out/bench_e2e.json "$LOG/bench_e2e_b.json" 2>/dev/null
 # 2. per-mesh gen anatomy (attributes the dispatch-queue drain)
 run gen_meshes    2400 python scripts/profile_gen_meshes.py
 # 3. backward anatomy + MXU-shape experiments (decides train_fused_stem)

@@ -122,3 +122,11 @@ def test_config_dtype_knobs(tmp_path):
         with pytest.raises(ValueError):
             dataclasses.replace(Config(models=["a"]),
                                 **{key: "float16"}).validate()
+    # the bit-parity mode is legal for compute/serving (precision='highest'
+    # via precision_from_config) but meaningless as a storage layout
+    for key in ("serving_dtype", "compute_dtype"):
+        dataclasses.replace(Config(models=["a"]),
+                            **{key: "float32_full"}).validate()
+    with pytest.raises(ValueError):
+        dataclasses.replace(Config(models=["a"]),
+                            storage_dtype="float32_full").validate()
