@@ -47,7 +47,7 @@ from pose3d_tpu.ops import quaternion as Q
 from pose3d_tpu.ops.geometry import depth2normals, depth2normals_at
 from pose3d_tpu.ops.patch import sample_patch, sample_patches
 from pose3d_tpu.ops.sphere import create_view_poses
-from pose3d_tpu.render.mesh import Mesh, load_mesh
+from pose3d_tpu.render.mesh import Mesh, front_sign, load_mesh
 
 log = logging.getLogger(__name__)
 
@@ -318,9 +318,16 @@ def _speculative_capacity(backend: str, bucket: int, f_floor: int,
     the program count at one per bucket.  CPU keeps the flat floor: its
     tight buckets would over-allocate ~8x, and with local compiles + no
     executable-load tax the overflow retry it avoids is cheap there.
+
+    The GLOBAL section (faces spanning >2x2 tiles) does NOT scale with
+    the bucket: denser meshes have SMALLER faces, so their >2x2-tile
+    population shrinks rather than grows — scaling it quadrupled the
+    kernel's per-tile global walk (gch grid steps) for exactly the
+    meshes that need it least.  A dense mesh that truly has many large
+    faces overflows loudly and retries through the probing path.
     """
     scale = max(1, bucket // f_floor) if backend == "tpu" else 1
-    return cap_floor * scale, (cap_floor if backend == "tpu" else 256) * scale
+    return cap_floor * scale, cap_floor if backend == "tpu" else 256
 
 
 def _patch_from_slots(dep, slot, pair_faces, attrs, texture, textured,
@@ -419,14 +426,15 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
     # interpret mode is too slow for CPU runs, which take the XLA path
     if backend == "tpu":
         def chunk_patches(verts, faces, colors, K, pose_chunk, texture,
-                          oxw, oyw, z):
+                          oxw, oyw, z, fs):
             dep, slot, pf, attrs, ovf = render_views_slots_pallas(
                 verts, faces, colors, pose_chunk, K, width=sw, height=sh,
                 x0=x0, y0=y0, tile=tile, capacity=capacity,
                 # fc=128 beats 256 by ~12% at LineMOD density (finer
                 # segment granularity outweighs the extra grid steps;
                 # measured 0.41 vs 0.47 ms/view over 3 reps)
-                face_chunk=128, global_capacity=global_cap)
+                face_chunk=128, global_capacity=global_cap,
+                front_sign=fs)
             pats = jax.vmap(
                 lambda d, s, p, a: _patch_from_slots(
                     d, s, p, a, texture, textured, oxw, oyw, z, fx, fy)
@@ -434,24 +442,25 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
             return pats, ovf
     else:
         def chunk_patches(verts, faces, colors, K, pose_chunk, texture,
-                          oxw, oyw, z):
+                          oxw, oyw, z, fs):
             def one(pose):
                 return render_view_tiled(verts, faces, colors, pose, K,
                                          width=sw, height=sh, x0=x0, y0=y0,
                                          tile=tile, capacity=capacity,
                                          face_chunk=256,
                                          global_capacity=global_cap,
-                                         return_overflow=True)
+                                         return_overflow=True,
+                                         front_sign=fs)
             col, dep, ovf = jax.lax.map(one, pose_chunk)
             pats = jax.vmap(
                 lambda c, d: _post(c, d, texture, oxw, oyw, z))(col, dep)
             return pats, jnp.any(ovf)
 
     def render_body(verts, faces, colors, K, pose_chunks, texture,
-                    oxw, oyw, z):
+                    oxw, oyw, z, fs):
         def chunk(pc):
             pats, ovf = chunk_patches(verts, faces, colors, K, pc, texture,
-                                      oxw, oyw, z)
+                                      oxw, oyw, z, fs)
             # storage-dtype cast INSIDE the per-chunk body: a bf16-resident
             # pipeline (train/solver gathers cast back to f32 per batch)
             # then never materializes the f32 patch set — at 15 objects x
@@ -467,9 +476,10 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
         mesh = make_mesh(n_shards)
 
         def sharded(verts, faces, colors, K, pose_chunks, texture,
-                    oxw, oyw, z):
+                    oxw, oyw, z, fs):
             patches, ovf = render_body(verts, faces, colors, K,
-                                       pose_chunks, texture, oxw, oyw, z)
+                                       pose_chunks, texture, oxw, oyw, z,
+                                       fs)
             # per-shard flag vector; reduced OUTSIDE the shard_map (the
             # any() over n_shards scalars costs nothing and avoids
             # collective/replication bookkeeping inside the mapped body)
@@ -482,14 +492,15 @@ def _render_program(backend: str, textured: bool, sw: int, sh: int,
         # Bitwise 1-dev/8-dev parity is asserted in tests/test_parallel.py.
         smapped = jax.shard_map(
             sharded, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P("dp"), P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P("dp"), P(), P(), P(), P(),
+                      P()),
             out_specs=(P("dp"), P("dp")), check_vma=False)
 
         @jax.jit
         def render_all(verts, faces, colors, K, pose_chunks, texture,
-                       oxw, oyw, z):
+                       oxw, oyw, z, fs):
             patches, ovf = smapped(verts, faces, colors, K, pose_chunks,
-                                   texture, oxw, oyw, z)
+                                   texture, oxw, oyw, z, fs)
             return patches, jnp.any(ovf)
 
         return render_all
@@ -564,6 +575,14 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
     colors = jnp.asarray(colors_np)
     K = jnp.asarray(cam)
 
+    # backface culling when proven safe (closed oriented mesh,
+    # render.mesh.front_sign): ~halves the pair-kernel's face-tile
+    # incidences — its measured cost driver.  Output-identical up to the
+    # rasterizer's silhouette coverage-tolerance slivers (~1e-5 of patch
+    # elements; tests/test_cull.py).  Traced scalar (0.0 = off), so
+    # culled and unculled meshes share one compiled program.
+    fsj = jnp.float32(front_sign(mesh))
+
     tile = 32
     if defer_overflow:
         if to_host:
@@ -587,7 +606,7 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
             pr = np.concatenate([pr, np.tile(pr[-1:], (8 - len(pr), 1, 1))])
         mo, nl = jax.device_get(probe_capacity(
             verts, faces, jnp.asarray(np.asarray(pr, np.float32)), K,
-            width=sw, height=sh, x0=x0, y0=y0, tile=tile))
+            width=sw, height=sh, x0=x0, y0=y0, tile=tile, front_sign=fsj))
         capacity = max(cap_floor,
                        -(-int(np.ceil(int(mo) * 1.5)) // 512) * 512)
         # size the binning's shared >2x2-tile face section the same way
@@ -618,7 +637,7 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                                   out_dtype)
         full, overflow = program(verts, faces, colors, K, chunks, texture,
                                  jnp.float32(ox - x0),
-                                 jnp.float32(oy - y0), jnp.float32(z))
+                                 jnp.float32(oy - y0), jnp.float32(z), fsj)
 
         def retry():
             return _render_patches(mesh, cam, poses, sw, sh, x0, y0, ox,
@@ -636,7 +655,7 @@ def _render_patches(mesh: Mesh, cam: np.ndarray, poses: np.ndarray,
                                   out_dtype)
         full, overflow = program(verts, faces, colors, K, chunks, texture,
                                  jnp.float32(ox - x0), jnp.float32(oy - y0),
-                                 jnp.float32(z))
+                                 jnp.float32(z), fsj)
         if not bool(overflow):
             break
         log.warning("render capacity overflow (capacity=%d global=%d); "

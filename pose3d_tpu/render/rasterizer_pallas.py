@@ -314,7 +314,8 @@ def _round_capacity(capacity, F, face_chunk):
 
 
 def _prepare_view_pairs(vertices, faces, colors, pose, K, width, height,
-                        x0, y0, tile, face_chunk, G, npc):
+                        x0, y0, tile, face_chunk, G, npc,
+                        front_sign=None):
     """Project + pair-bin + pack ONE pose for the pair-segment kernel.
 
     Returns (blocks [npc+gch, 3, 4*fc] — sorted-pair chunks then global
@@ -326,7 +327,7 @@ def _prepare_view_pairs(vertices, faces, colors, pose, K, width, height,
     cx_shift = x0 + width * 0.5
     cy_shift = y0 + height * 0.5
     M, area, valid, bb_min, bb_max = _project_and_pack(
-        vertices, faces, colors, pose, K, cx_shift, cy_shift)
+        vertices, faces, colors, pose, K, cx_shift, cy_shift, front_sign)
     F = M.shape[0]
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
@@ -381,10 +382,24 @@ def _run_pair_kernel(blocks, lo, hi, gcnt, width, height, tile,
                                fc, n_tiles, npc, gch)
 
     def m_index(i, j, lo_ref, hi_ref, gc_ref):
+        # Clamp INACTIVE steps to the previous step's block index: the
+        # Mosaic pipeline elides the block copy when consecutive grid
+        # steps map to the same block, so steps past a tile's actual
+        # segment (or past the populated global section) cost neither DMA
+        # nor compute (the kernel body's in_global/in_seg gates already
+        # skip the math).  jseg/gch are sized for the WORST tile; most
+        # tiles' segments are far shorter, and silhouette-exterior tiles
+        # are empty — without the clamp every one of them still fetched
+        # gch + jseg 6 KB blocks per view.  Active steps are clamp-free:
+        # j*fc < gc implies j <= glast, and bj*fc < hi implies
+        # bj <= seg_last, so fetched blocks match the body's indexing.
         view = i // n_tiles
         base = lo_ref[i] // fc
-        bj = jnp.clip(base + j - gch, 0, npc - 1)
-        return (view * NB + jnp.where(j < gch, npc + j, bj), 0, 0)
+        seg_last = jnp.maximum((hi_ref[i] - 1) // fc, base)
+        bj = jnp.clip(base + j - gch, 0, jnp.minimum(seg_last, npc - 1))
+        glast = jnp.maximum((gc_ref[i] - 1) // fc, 0)
+        gj = jnp.minimum(j, glast)
+        return (view * NB + jnp.where(j < gch, npc + gj, bj), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -484,7 +499,7 @@ def render_views_tiled_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
                                    "global_capacity"))
 def _render_views_slots(vertices, faces, colors, poses, K, x0s, y0s,
                         width, height, tile, capacity, face_chunk,
-                        global_capacity, interpret):
+                        global_capacity, interpret, front_sign=None):
     """Batched pair-segment z-buffer pass (traced per-view origins), no
     color epilogue: returns (depth [V, h, w], slot [V, h, w],
     pair_faces [V, S], attrs [V, F, 4, 3], overflow).
@@ -507,7 +522,7 @@ def _render_views_slots(vertices, faces, colors, poses, K, x0s, y0s,
     blocks, lo, hi, gcnt, pair_faces, attrs = jax.vmap(
         lambda p, xx, yy: _prepare_view_pairs(vertices, faces, colors, p,
                                               K, width, height, xx, yy,
-                                              tile, fc, G, npc)
+                                              tile, fc, G, npc, front_sign)
     )(poses, x0s, y0s)
     V, NB = blocks.shape[:2]
     blocks = blocks.reshape((V * NB,) + blocks.shape[2:])
@@ -527,12 +542,12 @@ def _render_views_slots(vertices, faces, colors, poses, K, x0s, y0s,
 def _render_views_pairs(vertices, faces, colors, poses, K, x0s, y0s,
                         width, height, tile, capacity, face_chunk,
                         global_capacity, interpret,
-                        return_overflow: bool = False):
+                        return_overflow: bool = False, front_sign=None):
     """Batched pair-segment Pallas rendering with the full-window color
     epilogue (see _render_views_slots for the split)."""
     depth, slot, pair_faces, attrs, overflow = _render_views_slots(
         vertices, faces, colors, poses, K, x0s, y0s, width, height, tile,
-        capacity, face_chunk, global_capacity, interpret)
+        capacity, face_chunk, global_capacity, interpret, front_sign)
     color = _pair_attribute_epilogue(depth, slot, pair_faces, attrs,
                                      width, height)
     if return_overflow:
@@ -549,19 +564,20 @@ def render_views_slots_pallas(vertices: jnp.ndarray, faces: jnp.ndarray,
                               x0: int = 0, y0: int = 0, tile: int = 32,
                               capacity: int = 1024, face_chunk: int = 128,
                               global_capacity: int | None = None,
-                              interpret: bool = False):
+                              interpret: bool = False, front_sign=None):
     """Batched z-buffer rendering WITHOUT the color epilogue.
 
     Returns (depth [V, h, w], slot [V, h, w], pair_faces [V, S],
     attrs [V, F, 4, 3], overflow).  Callers that consume color only at a
     sparse pixel set (the 64x64 patch taps — dataset generation) gather
     slot/attrs there and use eval_color_taps, skipping the full-window
-    epilogue entirely."""
+    epilogue entirely.  ``front_sign`` (traced scalar, None/0 = off)
+    culls backfaces of closed oriented meshes before binning."""
     return _render_views_slots(vertices, faces, colors, poses, K,
                                jnp.full(poses.shape[:1], float(x0)),
                                jnp.full(poses.shape[:1], float(y0)),
                                width, height, tile, capacity, face_chunk,
-                               global_capacity, interpret)
+                               global_capacity, interpret, front_sign)
 
 
 def render_views_clipped_pallas(vertices, faces, colors, poses, K, corners,

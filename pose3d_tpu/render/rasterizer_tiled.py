@@ -26,7 +26,16 @@ from pose3d_tpu.render.rasterizer import (_face_matrix, _rasterize_rows,
                                           NEAR)
 
 
-def _project_and_pack(vertices, faces, colors, pose, K, cx_shift, cy_shift):
+def _project_and_pack(vertices, faces, colors, pose, K, cx_shift, cy_shift,
+                      front_sign=None):
+    """Project + per-face affine rows + screen bboxes.
+
+    ``front_sign`` (traced scalar, None/0 = off) enables backface culling:
+    faces with ``area * front_sign <= 0`` are invalidated before binning,
+    halving face-tile incidences for closed meshes.  Only safe when
+    render.mesh.front_sign proved the mesh closed + consistently oriented
+    (the z-buffer winner is then provably unchanged); traced (not static)
+    so culled and unculled meshes share one compiled program."""
     vc = jnp.matmul(vertices, pose[:3, :3].T,
                     precision="highest") + pose[:3, 3]
     fx, fy = K[0, 0], K[1, 1]
@@ -48,6 +57,9 @@ def _project_and_pack(vertices, faces, colors, pose, K, cx_shift, cy_shift):
                       (faces[:, 1] == faces[:, 2]))
     area = jnp.sum(M[:, 0:3, 0] * p[:, 0:1, 0] +
                    M[:, 0:3, 1] * p[:, 0:1, 1] + M[:, 0:3, 2], axis=1)
+    if front_sign is not None:
+        fs = jnp.asarray(front_sign, area.dtype)
+        valid = valid & ((fs == 0.0) | (area * fs > 0.0))
     bb_min = jnp.min(p, axis=1)            # [F, 2]
     bb_max = jnp.max(p, axis=1)
     # faces touching the camera plane get degenerate screen bboxes; kill them
@@ -196,18 +208,20 @@ def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
                       capacity: int = 1024,
                       face_chunk: int = 256,
                       global_capacity: int | None = None,
-                      return_overflow: bool = False
+                      return_overflow: bool = False,
+                      front_sign=None
                       ) -> Tuple[jnp.ndarray, ...]:
     """Tile-culled render; same contract as rasterizer.render_view.
 
     ``return_overflow=True`` appends a scalar bool that is True when the
     binning dropped geometry (per-tile capacity or global-section
     overflow) — callers resize and re-render instead of silently
-    producing holes."""
+    producing holes.  ``front_sign`` (traced scalar) enables backface
+    culling for closed oriented meshes (see _project_and_pack)."""
     cx_shift = x0 + width * 0.5
     cy_shift = y0 + height * 0.5
     M, area, valid, bb_min, bb_max = _project_and_pack(
-        vertices, faces, colors, pose, K, cx_shift, cy_shift)
+        vertices, faces, colors, pose, K, cx_shift, cy_shift, front_sign)
 
     # pad the face axis so both top_k and the chunked inner loop see
     # face_chunk multiples
@@ -275,14 +289,15 @@ def render_view_tiled(vertices: jnp.ndarray, faces: jnp.ndarray,
 
 
 def max_tile_overlap(vertices, faces, colors, pose, K, width, height,
-                     x0: int = 0, y0: int = 0, tile: int = 64) -> int:
+                     x0: int = 0, y0: int = 0, tile: int = 64,
+                     front_sign=None) -> int:
     """True maximum face count over tiles for capacity sizing (host utility,
     not jitted into the hot path)."""
     cx_shift = x0 + width * 0.5
     cy_shift = y0 + height * 0.5
     _, _, valid, bb_min, bb_max = _project_and_pack(
         jnp.asarray(vertices), jnp.asarray(faces), jnp.asarray(colors),
-        jnp.asarray(pose), jnp.asarray(K), cx_shift, cy_shift)
+        jnp.asarray(pose), jnp.asarray(K), cx_shift, cy_shift, front_sign)
     import numpy as np
     bb_min = np.asarray(bb_min)
     bb_max = np.asarray(bb_max)
@@ -301,7 +316,8 @@ def max_tile_overlap(vertices, faces, colors, pose, K, width, height,
 
 
 def count_large_faces(vertices, faces, colors, pose, K, width, height,
-                      x0: int = 0, y0: int = 0, tile: int = 64) -> int:
+                      x0: int = 0, y0: int = 0, tile: int = 64,
+                      front_sign=None) -> int:
     """Faces whose screen bbox spans more than 2x2 tiles for a mesh/pose —
     the population of the binning's shared global section.  Host utility
     for sizing ``global_capacity`` (cf. max_tile_overlap for ``capacity``);
@@ -310,7 +326,7 @@ def count_large_faces(vertices, faces, colors, pose, K, width, height,
     cy_shift = y0 + height * 0.5
     _, _, valid, bb_min, bb_max = _project_and_pack(
         jnp.asarray(vertices), jnp.asarray(faces), jnp.asarray(colors),
-        jnp.asarray(pose), jnp.asarray(K), cx_shift, cy_shift)
+        jnp.asarray(pose), jnp.asarray(K), cx_shift, cy_shift, front_sign)
     import numpy as np
     bb_min = np.asarray(bb_min)
     bb_max = np.asarray(bb_max)
@@ -331,7 +347,8 @@ def count_large_faces(vertices, faces, colors, pose, K, width, height,
 @partial(jax.jit, static_argnames=("width", "height", "x0", "y0", "tile"))
 def probe_capacity(vertices: jnp.ndarray, faces: jnp.ndarray,
                    poses: jnp.ndarray, K: jnp.ndarray, width: int,
-                   height: int, x0: int = 0, y0: int = 0, tile: int = 32):
+                   height: int, x0: int = 0, y0: int = 0, tile: int = 32,
+                   front_sign=None):
     """Batched capacity probe: ONE device program computing, over a pose
     spread [P, 4, 4], the worst-case per-tile face overlap and the
     worst-case count of >2x2-tile ("large") faces.
@@ -368,6 +385,13 @@ def probe_capacity(vertices: jnp.ndarray, faces: jnp.ndarray,
         sy = fy * vc[:, 1] / zs + oy - cy_shift
         p = jnp.stack([sx, sy], axis=1)[faces]
         valid = jnp.all(z[faces] > NEAR, axis=1) & ~degenerate
+        if front_sign is not None:
+            # shoelace area == _face_matrix's edge-function sum, so the
+            # probe sizes capacity for exactly the faces the render bins
+            area = ((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+                    - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
+            fs = jnp.asarray(front_sign, area.dtype)
+            valid = valid & ((fs == 0.0) | (area * fs > 0.0))
         bb_min = jnp.min(p, axis=1)
         bb_max = jnp.max(p, axis=1)
 

@@ -168,15 +168,18 @@ def main(out_path=None):
     program = _render_program(jax.default_backend(), False, sw, sh, x0, y0,
                               tile, capacity, global_cap, fx, fy)
     texture = jnp.zeros((1, 1, 3), jnp.float32)
+    from pose3d_tpu.render.mesh import front_sign
+    fs_cull = jnp.float32(front_sign(mesh))
 
-    def fused_fn(pc):
-        patches, ovf = program(verts, faces, colors, Kj, pc[None], texture,
-                               oxw, oyw, zj)
-        return jnp.sum(patches)
-    dt = timed_chain(fused_fn, (chunk,))
-    results["fused_ms_per_view"] = round(dt * 1e3 / 8, 3)
-    print(f"fused render+post  {dt*1e3/8:7.2f} ms/view "
-          f"({8/dt:,.0f} views/s)", flush=True)
+    for tag, fs in (("", jnp.float32(0.0)), ("_culled", fs_cull)):
+        def fused_fn(pc, fs=fs):
+            patches, ovf = program(verts, faces, colors, Kj, pc[None],
+                                   texture, oxw, oyw, zj, fs)
+            return jnp.sum(patches)
+        dt = timed_chain(fused_fn, (chunk,))
+        results[f"fused{tag}_ms_per_view"] = round(dt * 1e3 / 8, 3)
+        print(f"fused render+post{tag or '  '}  {dt*1e3/8:7.2f} ms/view "
+              f"({8/dt:,.0f} views/s)", flush=True)
 
     # ---- phase: whole create_synth_samples per mesh, compile-warm
     # (two meshes sharing the shape bucket: second call = warm path)

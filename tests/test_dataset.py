@@ -227,13 +227,15 @@ def test_speculative_capacity_scales_with_bucket():
     probe + re-render + an extra program load); CPU keeps the flat floor
     (tight buckets would over-allocate ~8x; retries are cheap locally).
     The scale derives from the BUCKET so there stays exactly one program
-    per bucket."""
+    per bucket.  The GLOBAL section does NOT scale: denser meshes have
+    smaller faces, so their >2x2-tile population shrinks — scaling it
+    only multiplied the kernel's per-tile global walk."""
     from pose3d_tpu.data.dataset import _speculative_capacity
 
     # TPU floors: f_floor=2048, cap_floor=512
     assert _speculative_capacity("tpu", 2048, 2048, 512) == (512, 512)
-    assert _speculative_capacity("tpu", 4096, 2048, 512) == (1024, 1024)
-    assert _speculative_capacity("tpu", 8192, 2048, 512) == (2048, 2048)
+    assert _speculative_capacity("tpu", 4096, 2048, 512) == (1024, 512)
+    assert _speculative_capacity("tpu", 8192, 2048, 512) == (2048, 512)
     # CPU floors: f_floor=256, cap_floor=256 — flat regardless of bucket
     assert _speculative_capacity("cpu", 2048, 256, 256) == (256, 256)
     assert _speculative_capacity("cpu", 256, 256, 256) == (256, 256)
