@@ -185,12 +185,21 @@ def _make_pair_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
     (faces of the neighboring tile's segment) is harmless: their screen
     bboxes do not overlap this tile, so they can never cover a pixel.
 
+    Global steps are PER-TILE gated: ``gidx[i*gch + k]`` lists (ascending,
+    self-padded) the global chunks holding >=1 face whose screen bbox
+    overlaps tile i, ``gn[i]`` counts them.  Tiles away from every large
+    face skip the global walk entirely — with the ungated walk, a 294x294
+    window rasterized e.g. a cube's 12 whole-window faces in all ~100
+    tiles per view, the measured floor (~0.45 ms/view) for low-poly
+    meshes (PROFILE_GEN_MESHES: 4-face tetra slower than a 1280-face
+    sphere).
+
     Outputs (depth, winning slot) where slot indexes the view's extended
     pair-face table (sorted pairs then global slots), each block
     contributing ``block_local_base + argmin``."""
     fc = face_chunk
 
-    def kernel(lo_ref, hi_ref, gc_ref, m_ref, depth_ref, idx_ref,
+    def kernel(lo_ref, hi_ref, gidx_ref, gn_ref, m_ref, depth_ref, idx_ref,
                accd, acci):
         i = pl.program_id(0)
         j = pl.program_id(1)
@@ -203,7 +212,8 @@ def _make_pair_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
 
         base = lo_ref[i] // fc
         bj = jnp.clip(base + j - gch, 0, npc - 1)
-        in_global = (j < gch) & (j * fc < gc_ref[i])
+        in_global = (j < gch) & (j < gn_ref[i])
+        gj = gidx_ref[i * gch + jnp.minimum(j, gch - 1)]
         # the lo < hi guard keeps silhouette-exterior tiles at init+emit
         # cost: with lo == hi and an unaligned lo, the chunk-overlap test
         # alone would grind one full (foreign) chunk per empty tile
@@ -244,7 +254,7 @@ def _make_pair_kernel(tiles_x: int, tile: int, x0f: float, y0f: float,
 
             sub = tile * tile // 128
             d2 = d.reshape(sub, 128)
-            block_base = jnp.where(j < gch, (npc + j) * fc, bj * fc)
+            block_base = jnp.where(j < gch, (npc + gj) * fc, bj * fc)
             slot = (block_base + arg).reshape(sub, 128)
             prev = accd[:]
             better = d2 < prev
@@ -319,7 +329,9 @@ def _prepare_view_pairs(vertices, faces, colors, pose, K, width, height,
     """Project + pair-bin + pack ONE pose for the pair-segment kernel.
 
     Returns (blocks [npc+gch, 3, 4*fc] — sorted-pair chunks then global
-    chunks in kernel layout, lo/hi [nt] segment pair ranges, g_count [nt],
+    chunks in kernel layout, lo/hi [nt] segment pair ranges,
+    gact_idx [nt, gch] / gact_n [nt] per-tile active-global-chunk table,
+    g_count scalar (for overflow detection),
     pair_faces [ (npc+gch)*fc ] slot->face table, attrs [F, 4, 3])."""
     from pose3d_tpu.render.rasterizer_tiled import (_project_and_pack,
                                                     bin_pairs)
@@ -335,6 +347,40 @@ def _prepare_view_pairs(vertices, faces, colors, pose, K, width, height,
     sorted_faces, starts, g_faces, g_count = bin_pairs(
         bb_min, bb_max, valid, tiles_x, tiles_y, tile,
         x0 - cx_shift, y0 - cy_shift, G)
+
+    # per-tile active-global-chunk table: tile t only rasterizes global
+    # chunks holding >=1 face whose screen bbox overlaps it (a face's bbox
+    # contains the face, so a non-overlapping chunk can never cover a
+    # pixel of the tile — the same invariant the pair path already rests
+    # on).  Same tile-range arithmetic as bin_pairs.
+    gch = G // fc
+    inv_t = 1.0 / tile
+    origin_x = x0 - cx_shift
+    origin_y = y0 - cy_shift
+    gbl = bb_min[g_faces]
+    gbh = bb_max[g_faces]
+    gtxl = jnp.floor((gbl[:, 0] - origin_x) * inv_t).astype(jnp.int32)
+    gtxh = jnp.floor((gbh[:, 0] - origin_x) * inv_t).astype(jnp.int32)
+    gtyl = jnp.floor((gbl[:, 1] - origin_y) * inv_t).astype(jnp.int32)
+    gtyh = jnp.floor((gbh[:, 1] - origin_y) * inv_t).astype(jnp.int32)
+    gvalid = jnp.arange(G) < g_count
+    tx = jnp.arange(tiles_x, dtype=jnp.int32)
+    ty = jnp.arange(tiles_y, dtype=jnp.int32)
+    ox_hit = (gtxl[None, :] <= tx[:, None]) & (tx[:, None] <= gtxh[None, :])
+    oy_hit = (gtyl[None, :] <= ty[:, None]) & (ty[:, None] <= gtyh[None, :])
+    act = (oy_hit[:, None, :] & ox_hit[None, :, :] &
+           gvalid[None, None, :])                       # [ty, tx, G]
+    act = jnp.any(act.reshape(tiles_y * tiles_x, gch, fc), axis=-1)
+    gact_n = jnp.sum(act, axis=1).astype(jnp.int32)     # [nt]
+    # ascending active chunk indices, self-padded with the LAST active
+    # one (or 0): consecutive inactive grid steps then map to an
+    # already-fetched block, so Mosaic elides their copies
+    score = jnp.where(act, gch - jnp.arange(gch, dtype=jnp.int32)[None, :],
+                      0)
+    vals, pos = jax.lax.top_k(score, gch)               # ascending chunks
+    idx = jnp.where(vals > 0, pos, -1)
+    last = jnp.max(jnp.where(idx >= 0, idx, 0), axis=1, keepdims=True)
+    gact_idx = jnp.where(idx >= 0, idx, last).astype(jnp.int32)
 
     gch = G // fc
     P = npc * fc
@@ -360,15 +406,14 @@ def _prepare_view_pairs(vertices, faces, colors, pose, K, width, height,
     pair_faces = jnp.concatenate([sf, g_faces])          # [(npc+gch)*fc]
     lo = starts[:-1]
     hi = starts[1:]
-    gcnt = jnp.broadcast_to(g_count, lo.shape)
-    return blocks, lo, hi, gcnt, pair_faces, M[:, 3:7]
+    return blocks, lo, hi, gact_idx, gact_n, g_count, pair_faces, M[:, 3:7]
 
 
-def _run_pair_kernel(blocks, lo, hi, gcnt, width, height, tile,
+def _run_pair_kernel(blocks, lo, hi, gact_idx, gact_n, width, height, tile,
                      face_chunk, npc, gch, jseg, interpret):
     """Launch the pair-segment kernel over flattened (view, tile) programs.
-    blocks [V*NB, 3, 4fc]; lo/hi/gcnt [VT].  Returns per-view stitched
-    (depth [V, h, w], slot [V, h, w])."""
+    blocks [V*NB, 3, 4fc]; lo/hi/gact_n [VT]; gact_idx [VT*gch].  Returns
+    per-view stitched (depth [V, h, w], slot [V, h, w])."""
     tiles_x = (width + tile - 1) // tile
     tiles_y = (height + tile - 1) // tile
     n_tiles = tiles_x * tiles_y
@@ -381,28 +426,28 @@ def _run_pair_kernel(blocks, lo, hi, gcnt, width, height, tile,
     kernel = _make_pair_kernel(tiles_x, tile, -width * 0.5, -height * 0.5,
                                fc, n_tiles, npc, gch)
 
-    def m_index(i, j, lo_ref, hi_ref, gc_ref):
+    def m_index(i, j, lo_ref, hi_ref, gidx_ref, gn_ref):
         # Clamp INACTIVE steps to the previous step's block index: the
         # Mosaic pipeline elides the block copy when consecutive grid
         # steps map to the same block, so steps past a tile's actual
-        # segment (or past the populated global section) cost neither DMA
+        # segment (or past its active-global list) cost neither DMA
         # nor compute (the kernel body's in_global/in_seg gates already
         # skip the math).  jseg/gch are sized for the WORST tile; most
         # tiles' segments are far shorter, and silhouette-exterior tiles
         # are empty — without the clamp every one of them still fetched
         # gch + jseg 6 KB blocks per view.  Active steps are clamp-free:
-        # j*fc < gc implies j <= glast, and bj*fc < hi implies
-        # bj <= seg_last, so fetched blocks match the body's indexing.
+        # gact_idx is self-padded past gact_n (prepare), and bj*fc < hi
+        # implies bj <= seg_last, so fetched blocks match the body's
+        # indexing.
         view = i // n_tiles
         base = lo_ref[i] // fc
         seg_last = jnp.maximum((hi_ref[i] - 1) // fc, base)
         bj = jnp.clip(base + j - gch, 0, jnp.minimum(seg_last, npc - 1))
-        glast = jnp.maximum((gc_ref[i] - 1) // fc, 0)
-        gj = jnp.minimum(j, glast)
+        gj = gidx_ref[i * gch + jnp.minimum(j, gch - 1)]
         return (view * NB + jnp.where(j < gch, npc + gj, bj), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(VT, gch + jseg),
         in_specs=[
             pl.BlockSpec((1, 3, 4 * fc), m_index,
@@ -427,7 +472,7 @@ def _run_pair_kernel(blocks, lo, hi, gcnt, width, height, tile,
             jax.ShapeDtypeStruct((VT, sub, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(lo, hi, gcnt, blocks)
+    )(lo, hi, gact_idx, gact_n, blocks)
 
     def stitch(t):
         t = t.reshape(V, tiles_y, tiles_x, tile, tile)
@@ -519,7 +564,7 @@ def _render_views_slots(vertices, faces, colors, poses, K, x0s, y0s,
     # segment can straddle one extra chunk boundary
     jseg = min(npc, cap // fc + 1)
 
-    blocks, lo, hi, gcnt, pair_faces, attrs = jax.vmap(
+    blocks, lo, hi, gact_idx, gact_n, g_count, pair_faces, attrs = jax.vmap(
         lambda p, xx, yy: _prepare_view_pairs(vertices, faces, colors, p,
                                               K, width, height, xx, yy,
                                               tile, fc, G, npc, front_sign)
@@ -527,12 +572,13 @@ def _render_views_slots(vertices, faces, colors, poses, K, x0s, y0s,
     V, NB = blocks.shape[:2]
     blocks = blocks.reshape((V * NB,) + blocks.shape[2:])
     depth, slot = _run_pair_kernel(blocks, lo.reshape(-1), hi.reshape(-1),
-                                   gcnt.reshape(-1), width, height, tile,
+                                   gact_idx.reshape(-1),
+                                   gact_n.reshape(-1), width, height, tile,
                                    fc, npc, gch, jseg, interpret)
     # geometry dropped iff a tile's pair segment exceeds the chunk
     # budget the kernel walks (jseg chunks cover >= cap faces from the
     # aligned base) or the >2x2-tile population exceeds G
-    overflow = (jnp.max(hi - lo) > cap) | (jnp.max(gcnt) > G)
+    overflow = (jnp.max(hi - lo) > cap) | (jnp.max(g_count) > G)
     return depth, slot, pair_faces, attrs, overflow
 
 

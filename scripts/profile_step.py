@@ -99,7 +99,8 @@ def main():
     print(f"device: {jax.devices()[0]}  scale O={O} Ntr={Ntr} T={T}",
           flush=True)
 
-    def variant(mode, fwd=True, bwd=True, mine=True, train_dtype=None):
+    def variant(mode, fwd=True, bwd=True, mine=True, train_dtype=None,
+                fused_stem=False):
         # data/banks are ARGUMENTS (not closures): closed-over device
         # arrays become captured constants re-shipped at compile time,
         # which through the tunnel never finishes
@@ -118,7 +119,8 @@ def main():
 
                 def loss_fn(p):
                     return losses.spec_loss(
-                        apply(p, spec, batch, compute_dtype=train_dtype),
+                        apply(p, spec, batch, compute_dtype=train_dtype,
+                              fused_stem=fused_stem),
                         spec.loss_slices, spec.margin)
                 if bwd:
                     loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -150,6 +152,13 @@ def main():
          variant(3, train_dtype=jnp.bfloat16)),
         ("fwd+bwd bf16 (random batch)",
          variant(3, mine=False, train_dtype=jnp.bfloat16)),
+        # parity-packed conv+pool stem (models/manifold._conv_pool_fused):
+        # same multiply-add terms, 4x MXU lane occupancy in the convs, no
+        # full-resolution conv intermediate — the PROFILE_BWD win measured
+        # through the REAL step program (mining + aug + optimizer included)
+        ("full step fused stem (bg=3)", variant(3, fused_stem=True)),
+        ("fwd+bwd fused stem (random batch)",
+         variant(3, mine=False, fused_stem=True)),
     ]
     import json, os
     results = {"device": str(jax.devices()[0]),
