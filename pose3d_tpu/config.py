@@ -90,11 +90,16 @@ class Config:
     # src/datasetmanager.cpp:584-586); lower values for smoke tests
     template_subdiv: int = 2
     training_subdiv: int = 3
-    # opt-in: parity-packed conv+pool stem in the TRAINING step (same
-    # multiply-add terms, reassociated; 4x MXU lane occupancy, no
-    # full-resolution conv intermediate).  Measured SLOWER for the serving
-    # forward — flip only with PROFILE_BWD evidence for fwd+bwd.
-    train_fused_stem: bool = False
+    # parity-packed conv+pool stem in the TRAINING step (same multiply-add
+    # terms, reassociated; 4x MXU lane occupancy, no full-resolution conv
+    # intermediate in HBM).  Default ON: the full fused step runs 2.50 ->
+    # 1.49 ms/iter on v5e (PROFILE_STEP "full step fused stem"), losses
+    # match the plain path to f32 reassociation tolerance
+    # (tests/test_train_eval.py::test_solver_fused_stem_matches_plain) and
+    # the learning gate passes (LEARNING_r3.json).  The serving/descriptor
+    # forward keeps the plain stem (measured slower there; bit-parity
+    # paths pass precision="highest" through the plain convs).
+    train_fused_stem: bool = True
 
     # ------------------------------------------------------------------
     def __post_init__(self) -> None:

@@ -382,7 +382,6 @@ def _prepare_view_pairs(vertices, faces, colors, pose, K, width, height,
     last = jnp.max(jnp.where(idx >= 0, idx, 0), axis=1, keepdims=True)
     gact_idx = jnp.where(idx >= 0, idx, last).astype(jnp.int32)
 
-    gch = G // fc
     P = npc * fc
     pad = P - sorted_faces.shape[0]
     sf = jnp.pad(sorted_faces, (0, pad))       # pad with face 0: inert

@@ -275,6 +275,35 @@ class Solver:
         self.knn_tables = evaluator.compute_knn_tables(
             fn, params, self.data.train_patches, self.data.tmpl_patches)
 
+    # ---------------------------------------------------------------- warm
+    def warm(self) -> None:
+        """Dispatch throwaway work that forces the training programs'
+        executable loads NOW, without any host sync.
+
+        Through a tunneled device every distinct compiled program pays
+        ~8-30 s of per-process executable load at FIRST use (the
+        persistent compile cache removes the compile, not the load).
+        Called right after dataset generation has been dispatched (before
+        any host sync on its results), the loads stream over the link
+        while the device drains the render queue, instead of serializing
+        into the timed training phase.  Everything is discarded: train()
+        builds its own ``init_state`` and the RNG stream is untouched.
+        The epoch program is shared (``self._steps`` is per-instance), so
+        callers must train on THIS solver; swap post-generation data in
+        via ``self.data = ...`` (the programs take it as an argument).
+        """
+        state = self.init_state()
+        epoch_fn = self._train_epoch(False)
+        garbage, _ = epoch_fn(state, self.data, self._dummy_knn())
+        if self.cfg.num_bootstrapping_rounds > 0:
+            # the bootstrap transition additionally needs the descriptor +
+            # kNN-table programs (evaluator caches are module-level)
+            fn = descriptor_fn(self.spec, self.compute_dtype,
+                               self.precision)
+            evaluator.compute_knn_tables(fn, garbage["params"],
+                                         self.data.train_patches,
+                                         self.data.tmpl_patches)
+
     # ------------------------------------------------------------- logging
     def _log_metrics(self, params, iteration: int, elapsed: float) -> None:
         cfg = self.cfg

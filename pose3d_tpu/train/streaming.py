@@ -223,8 +223,10 @@ class StreamingSolver:
                 batch = jax.lax.with_sharding_constraint(batch, sharding)
 
             def loss_fn(p):
-                return losses.spec_loss(apply(p, spec, batch),
-                                        spec.loss_slices, spec.margin)
+                return losses.spec_loss(
+                    apply(p, spec, batch,
+                          fused_stem=cfg.train_fused_stem),
+                    spec.loss_slices, spec.margin)
 
             loss, grads = jax.value_and_grad(loss_fn)(state["params"])
             updates, opt = self.tx.update(grads, state["opt"],

@@ -109,7 +109,41 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
         mesh_marks.append((n_views, time.time() - t0))
         print(f"  {name}: {len(tmpl.patches)}+{len(synth.patches)} views "
               f"({time.time()-t0:.0f}s)", flush=True)
+
+    # warm the TRAINING programs while the device drains the render queue:
+    # build the (speculative, pre-retry) device sets and dispatch one
+    # throwaway epoch + kNN-table pass — their ~10-30 s executable loads
+    # then stream over the link concurrently with rendering instead of
+    # serializing into the timed training phase.  Shapes are final (retries
+    # preserve them), so the loaded programs are the ones train() runs.
+    def build_data(tp, tl, sp, sl):
+        tmplp = jnp.stack(tp)
+        tmpll = jnp.asarray(np.stack(tl))
+        trainp = jnp.stack(sp)
+        trainl = jnp.asarray(np.stack(sl))
+        sims = Q.top2_similar_templates_all(trainl[:, :, 1:5],
+                                            tmpll[:, :, 1:5])
+        elev = Q.elevation(tmpll[..., 1:5])
+        O = tmplp.shape[0]
+        return DeviceData(
+            train_patches=trainp, train_labels=trainl,
+            tmpl_patches=tmplp, tmpl_labels=tmpll,
+            test_patches=tmplp[:, :1], test_labels=tmpll[:, :1],
+            max_sim_tmpl=sims, rot_inv=jnp.zeros((O,), jnp.int32),
+            elev_ok=jnp.abs(elev[:, :, None] - elev[:, None, :]) >= 0.2,
+            hard_negs=jnp.zeros((O, 1, 64, 64, 7)),
+            hard_neg_count=jnp.zeros((O,), jnp.int32))
+
+    cfg.validate()
+    data = build_data(tmpl_p, tmpl_l, train_p, train_l)
+    print(f"  [data built +{time.time()-t0:.0f}s]", flush=True)
+    solver = Solver(cfg, data)
+    solver.warm()
+    print(f"  [warm dispatched +{time.time()-t0:.0f}s]", flush=True)
+
     flags = jax.device_get([d[1] for d in deferred])    # one sync for all
+    print(f"  [overflow flags fetched +{time.time()-t0:.0f}s]", flush=True)
+    retried = False
     for (i, _, retry), flag in zip(deferred, flags):
         if bool(flag):
             print(f"  {names[i]}: capacity overflow, re-rendering probed",
@@ -117,6 +151,7 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
             tmpl, synth = retry()
             tmpl_p[i], tmpl_l[i] = tmpl.patches, tmpl.labels
             train_p[i], train_l[i] = synth.patches, synth.labels
+            retried = True
     gen_s = time.time() - t0
     # steady-state rate excludes the first mesh: a fresh process pays a
     # one-time ~1-2 min device/tunnel warm-up + per-program executable
@@ -128,41 +163,21 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
         gen_steady = n_views / max(gen_s, 1e-9)
 
     t0 = time.time()
-    # bf16 sample storage halves resident HBM: the 15-object subdiv-3 set
-    # does not fit in f32 on this chip (patches arrive bf16 from the render)
-    tmpl_patches = jnp.stack(tmpl_p)
-    tmpl_labels = jnp.asarray(np.stack(tmpl_l))
-    # free the per-object device arrays before stacking the (2x larger)
-    # training set, or the copies push HBM past 16 GB
-    del tmpl_p
-    tmpl_patches.block_until_ready()
-    train_patches = jnp.stack(train_p)
-    del train_p
-    train_patches.block_until_ready()
-    train_labels = jnp.asarray(np.stack(train_l))
-    O, T = tmpl_patches.shape[:2]
-    Ntr = train_patches.shape[1]
-
-    # one dispatch for all objects' similarity tables (a per-object Python
-    # loop costs 15 tunnel dispatches)
-    sims = Q.top2_similar_templates_all(train_labels[:, :, 1:5],
-                                        tmpl_labels[:, :, 1:5])
-    elev = Q.elevation(tmpl_labels[..., 1:5])
-    data = DeviceData(
-        train_patches=train_patches, train_labels=train_labels,
-        tmpl_patches=tmpl_patches, tmpl_labels=tmpl_labels,
-        test_patches=tmpl_patches[:, :1], test_labels=tmpl_labels[:, :1],
-        max_sim_tmpl=sims, rot_inv=jnp.zeros((O,), jnp.int32),
-        elev_ok=jnp.abs(elev[:, :, None] - elev[:, None, :]) >= 0.2,
-        hard_negs=jnp.zeros((O, 1, 64, 64, 7)),
-        hard_neg_count=jnp.zeros((O,), jnp.int32))
+    if retried:
+        # rebuild the device sets from the corrected renders; the solver's
+        # programs take the data as an ARGUMENT (same shapes), so the
+        # warm-loaded executables are reused as-is
+        data = build_data(tmpl_p, tmpl_l, train_p, train_l)
+        solver.data = data
+    # free the per-object device arrays (kept until here for retry
+    # rebuilds) before training
+    del tmpl_p, train_p
     tables_s = time.time() - t0
-    print(f"device sets: train {train_patches.shape} tmpl "
-          f"{tmpl_patches.shape} (gen {gen_s:.0f}s tables {tables_s:.0f}s)",
-          flush=True)
+    print(f"device sets: train {data.train_patches.shape} tmpl "
+          f"{data.tmpl_patches.shape} (gen {gen_s:.0f}s tables "
+          f"{tables_s:.0f}s)", flush=True)
 
     t0 = time.time()
-    solver = Solver(cfg, data)
     state = solver.train()
     train_s = time.time() - t0
     iters = int(state["iter"])

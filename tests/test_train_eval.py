@@ -93,6 +93,40 @@ def test_solver_fused_stem_matches_plain(tmp_path, monkeypatch):
     np.testing.assert_allclose(run(False), run(True), rtol=1e-4)
 
 
+def test_solver_warm_does_not_change_training(monkeypatch):
+    """warm() (executable-load overlap: one throwaway epoch + kNN pass on a
+    private init_state) must leave training bit-identical — same programs,
+    untouched RNG stream.  Compares one epoch from the SAME seeded state
+    on a warmed vs fresh solver (full train() x2 is minutes on a 1-core
+    host; the epoch program is the entirety of what warm() touches)."""
+    import dataclasses
+    data, cfg = _cached_device_data(monkeypatch)
+    cfg2 = dataclasses.replace(
+        cfg, output_path="", num_training_rounds=1,
+        num_bootstrapping_rounds=1, random_background=1, log_epoch=100)
+
+    def one_epoch(solver):
+        # the fixture's full epoch is 592 iters — minutes on a 1-core
+        # host; 4 iters prove the identity just as well (epoch length is
+        # a static program parameter, not part of what warm() touches)
+        solver.epoch_iter = 4
+        state, loss = solver._train_epoch(False)(
+            solver.init_state(), data, solver._dummy_knn())
+        return ([np.asarray(x) for x in jax.tree.leaves(state["params"])],
+                float(loss))
+
+    plain = Solver(cfg2, data)
+    ref, ref_loss = one_epoch(plain)
+
+    warmed = Solver(cfg2, data)
+    warmed.epoch_iter = 4              # warm()'s epoch too
+    warmed.warm()                      # also exercises the kNN-table warm
+    got, got_loss = one_epoch(warmed)
+    assert ref_loss == got_loss
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_knn_tables_shapes_and_self_retrieval(tmp_path, monkeypatch):
     data, cfg = _cached_device_data(monkeypatch)
     spec = NETWORKS[cfg.net_name]
