@@ -39,6 +39,10 @@ def cmd_train(args) -> int:
     cfg = load_config(args.config)
     db = _build_db(cfg)
     solver = Solver(cfg, db.to_device(), bg_bank=_bank(cfg))
+    # overlap the training programs' per-process executable loads with the
+    # sample-upload/generation queue still draining on device (throwaway
+    # dispatches; training results are bit-identical — see Solver.warm)
+    solver.warm()
     state = solver.train(resume_iter=args.resume_iter,
                          weights=getattr(args, "weights", None))
     if cfg.binarization:

@@ -90,6 +90,53 @@ def test_large_faces_use_global_section():
                                atol=1e-5)
 
 
+def test_global_gating_multi_chunk():
+    """Per-tile active-global-chunk gating with >face_chunk large faces:
+    the global section spans several 32-face chunks and different tiles
+    overlap DIFFERENT chunk subsets (gact_idx remaps non-contiguous
+    chunk lists), so a gating/indexing bug shifts z-winners or drops
+    coverage vs the brute-force reference."""
+    rng = np.random.default_rng(7)
+    # 80 large quads (160 triangles -> 5 global chunks at fc=32), each
+    # spanning >2x2 tiles of 32 px, scattered so left-edge tiles see
+    # different chunks than right-edge tiles; random depths force real
+    # z-buffer contests between chunks
+    verts, faces, colors = [], [], []
+    for i in range(80):
+        cx, cy = rng.uniform(-0.28, 0.28, size=2)
+        z = rng.uniform(-0.06, 0.06)
+        s = 0.17                                  # ~97 px at z=0.35
+        base = len(verts)
+        verts += [[cx - s, cy - s, z], [cx + s, cy - s, z],
+                  [cx + s, cy + s, z], [cx - s, cy + s, z]]
+        faces += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
+        colors += [list(rng.uniform(0, 1, size=3)) for _ in range(4)]
+    verts = jnp.asarray(verts, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    colors = jnp.asarray(colors, jnp.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 0.35
+    args = (verts, faces, colors, jnp.asarray(T), K)
+
+    from pose3d_tpu.render.rasterizer_tiled import count_large_faces
+    n_large = int(count_large_faces(verts, faces, colors, T, K, 160, 160,
+                                    tile=32))
+    assert n_large > 32                        # really spans >1 chunk
+
+    from pose3d_tpu.render.rasterizer_pallas import render_view_tiled_pallas
+    colb, depb = render_view(*args, width=160, height=160, face_chunk=8)
+    colp, depp = render_view_tiled_pallas(*args, width=160, height=160,
+                                          tile=32, capacity=32,
+                                          face_chunk=32,
+                                          global_capacity=192,
+                                          interpret=_interp())
+    assert float(jnp.sum(depp > 0)) > 5000
+    np.testing.assert_allclose(np.asarray(depp), np.asarray(depb),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(colp), np.asarray(colb),
+                               atol=1e-4)
+
+
 def test_bin_counts_sections():
     # seg_len counts only the per-tile segment; g_count only >2x2 spans
     from pose3d_tpu.render.rasterizer_tiled import bin_faces_to_tiles
