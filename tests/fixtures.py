@@ -19,10 +19,23 @@ FIX_W, FIX_H = 160, 120
 
 
 def synthetic_benchmark(mesh, n_frames=12, z=0.45, seed=0) -> Benchmark:
-    """Render the mesh from n_frames poses and package as 'real' frames."""
-    poses, _ = create_view_poses(1, (z, 1.1, z), (0.0, 37.0, float(n_frames)
-                                                  * 37.0 - 1), True)
-    poses = poses[:n_frames]
+    """Render the mesh from n_frames poses and package as 'real' frames.
+
+    Frames come in PAIRS sharing a rotation but at different depths: the
+    ceil-half split buckets real samples by nearest-template quaternion
+    (reference src/datasetmanager.cpp:646-668), and a singleton bucket goes
+    entirely to train — identical-quat pairs guarantee every bucket has two
+    members, so the fixture always produces a non-empty test set."""
+    half = max(1, -(-n_frames // 2))
+    base, _ = create_view_poses(1, (z, 1.1, z), (0.0, 37.0, float(half)
+                                                 * 37.0 - 1), True)
+    base = base[:half]
+    poses = []
+    for T in base:
+        far = T.copy()
+        far[2, 3] += 0.04        # same rotation, different depth
+        poses.extend([T, far])
+    poses = np.asarray(poses, np.float32)[:n_frames]
     bench = Benchmark(cam=FIX_K.copy())
     for i, T in enumerate(poses):
         col, dep = render_view(jnp.asarray(mesh.vertices),

@@ -40,6 +40,10 @@ def test_dataset_manager_end_to_end(tmp_path, monkeypatch):
     n_te = len(db.test_set[0])
     assert all(len(s) == n_te for s in db.test_set)
     assert n_tr > 0
+    # the fixture pairs real frames per template bucket precisely so the
+    # ceil-half split yields a non-empty test set — an empty split silently
+    # zeroes every eval metric downstream, so fail loudly here
+    assert n_te > 0
 
     # caches were written with reference names and are reused on reload
     import os
