@@ -64,6 +64,17 @@ def _face_matrix(p: jnp.ndarray, zc: jnp.ndarray,
 
     M = jnp.concatenate([edges, zrow, crow], axis=1)            # [F, 7, 3]
     valid = jnp.all(zc > NEAR, axis=1)
+    # Point-degenerate faces (all three screen vertices identical) must
+    # never rasterize — GL draws zero-area primitives as nothing
+    # (reference renders through GL, src/painter.cpp:87-112).  They can't
+    # be caught by an area epsilon: under jit XLA contracts the c-row
+    # products x1*y2 - x2*y1 into FMAs whose rounding residue makes the
+    # "zero" area tiny-but-nonzero, and the edge functions of a point face
+    # are position-INDEPENDENT constants, so that residue once admitted
+    # every pixel at the face's depth.  The positional coefficients a, b
+    # are pure subtractions — exact even with FMA contraction — so
+    # "all a and b exactly 0" is an exact point-degeneracy test.
+    valid &= jnp.any((a != 0.0) | (b != 0.0), axis=1)
     return M, valid
 
 

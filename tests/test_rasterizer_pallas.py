@@ -296,3 +296,101 @@ def test_slot_sparse_patch_textured_identical():
     np.testing.assert_array_equal(np.asarray(new)[..., 3],
                                   np.asarray(old)[..., 3])
     np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=2e-7)
+
+
+def test_fuzz_mixed_soup_matches_brute_force():
+    """Adversarial mixed soup, seeded: small faces, tile-spanning faces,
+    >2x2-tile global-section faces, a near-plane-invalid face and zero-area
+    degenerates in ONE scene — stressing the pair binning's per-tile
+    segments, the gated global-section walk, invalid-face masking and
+    z-buffer contests against each other rather than one feature per test
+    (the reference renders such soups through one GL pass,
+    reference src/painter.cpp:87-112, so any interaction bug here is a
+    parity break, not just a perf path divergence)."""
+    Kf = jnp.asarray([[100.0, 0.0, 48.0], [0.0, 100.0, 48.0],
+                      [0.0, 0.0, 1.0]], jnp.float32)
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        verts, faces, colors = [], [], []
+
+        def tri(pts):
+            base = len(verts)
+            verts.extend([list(map(float, p)) for p in pts])
+            faces.append([base, base + 1, base + 2])
+            colors.extend(rng.uniform(0, 1, size=(3, 3)).tolist())
+
+        for _ in range(40):                        # few-pixel faces
+            c = rng.uniform(-0.25, 0.25, size=2)
+            z = rng.uniform(-0.05, 0.05)
+            d = rng.uniform(-0.02, 0.02, size=(3, 2))
+            tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
+        for _ in range(10):                        # tile-spanning faces
+            c = rng.uniform(-0.2, 0.2, size=2)
+            z = rng.uniform(-0.05, 0.05)
+            d = rng.uniform(-0.09, 0.09, size=(3, 2))
+            tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
+        for _ in range(6):                         # global-section faces
+            c = rng.uniform(-0.1, 0.1, size=2)
+            z = rng.uniform(-0.05, 0.05)
+            s = 0.17
+            tri([[c[0] - s, c[1] - s, z], [c[0] + s, c[1] - s, z],
+                 [c[0], c[1] + s, z]])
+        # near-plane-invalid face whose clamped projection covers the
+        # window center; must not rasterize at all
+        tri([[-0.02, -0.02, -0.3495], [0.1, 0.0, -0.05], [0.0, 0.1, -0.05]])
+        # zero-area degenerates: repeated vertex and collinear
+        tri([[0.05, 0.05, 0.0]] * 3)
+        tri([[-0.1, 0.0, 0.01], [0.0, 0.0, 0.01], [0.1, 0.0, 0.01]])
+
+        T = np.eye(4, dtype=np.float32)
+        T[2, 3] = 0.35
+        args = (jnp.asarray(verts, jnp.float32),
+                jnp.asarray(faces, jnp.int32),
+                jnp.asarray(colors, jnp.float32), jnp.asarray(T), Kf)
+
+        colb, depb = render_view(*args, width=96, height=96, face_chunk=8)
+        colp, depp = render_view_tiled_pallas(
+            *args, width=96, height=96, tile=32, capacity=64,
+            face_chunk=32, global_capacity=64, interpret=_interp())
+        assert float(jnp.sum(depb > 0)) > 2000     # scene actually covers
+        np.testing.assert_allclose(np.asarray(depp), np.asarray(depb),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(colp), np.asarray(colb),
+                                   atol=1e-4)
+
+
+def test_point_degenerate_face_never_rasterizes():
+    """A zero-area face with three IDENTICAL vertex positions must cover
+    nothing on any path (GL draws zero-area primitives as nothing).
+    Regression: under jit, XLA FMA-contracts the edge-constant products,
+    leaving a tiny nonzero 'area' residue for point faces; their edge
+    functions are position-independent constants, so the residue once
+    admitted EVERY pixel of the window (brute force) / tile (pair kernel)
+    at the face's depth.  Exercises the exact a,b==0 point test in
+    _face_matrix under jit (jax.disable_jit never reproduced it)."""
+    from pose3d_tpu.render.rasterizer_tiled import render_view_tiled
+    Kf = jnp.asarray([[100.0, 0.0, 48.0], [0.0, 100.0, 48.0],
+                      [0.0, 0.0, 1.0]], jnp.float32)
+    T = np.eye(4, dtype=np.float32)
+    T[2, 3] = 0.35
+    # three distinct vertex INDICES with identical positions (the
+    # duplicate-index guard alone must not be what saves us)
+    verts = jnp.asarray([[0.05, 0.05, 0.0]] * 3
+                        + [[-0.1, -0.1, 0.0], [0.0, -0.1, 0.0],
+                           [-0.05, 0.0, 0.0]], jnp.float32)
+    faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    colors = jnp.ones((6, 3), jnp.float32)
+    args = (verts, faces, colors, jnp.asarray(T), Kf)
+
+    colb, depb = render_view(*args, width=96, height=96, face_chunk=8)
+    colx, depx = render_view_tiled(*args, width=96, height=96, tile=32,
+                                   capacity=8, face_chunk=8)
+    colp, depp = render_view_tiled_pallas(*args, width=96, height=96,
+                                          tile=32, capacity=8, face_chunk=8,
+                                          interpret=_interp())
+    # the real face still renders; the point face contributes nothing
+    for dep in (depb, depx, depp):
+        d = np.asarray(dep)
+        assert 0 < (d > 0).sum() < 600
+    np.testing.assert_allclose(np.asarray(depx), np.asarray(depb), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depp), np.asarray(depb), atol=1e-5)
