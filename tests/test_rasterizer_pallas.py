@@ -298,6 +298,44 @@ def test_slot_sparse_patch_textured_identical():
     np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=2e-7)
 
 
+def _mixed_soup(seed):
+    """Adversarial random soup: small, tile-spanning and >2x2-tile faces
+    plus a near-plane-invalid face and zero-area degenerates."""
+    rng = np.random.default_rng(seed)
+    verts, faces, colors = [], [], []
+
+    def tri(pts):
+        base = len(verts)
+        verts.extend([list(map(float, p)) for p in pts])
+        faces.append([base, base + 1, base + 2])
+        colors.extend(rng.uniform(0, 1, size=(3, 3)).tolist())
+
+    for _ in range(40):                        # few-pixel faces
+        c = rng.uniform(-0.25, 0.25, size=2)
+        z = rng.uniform(-0.05, 0.05)
+        d = rng.uniform(-0.02, 0.02, size=(3, 2))
+        tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
+    for _ in range(10):                        # tile-spanning faces
+        c = rng.uniform(-0.2, 0.2, size=2)
+        z = rng.uniform(-0.05, 0.05)
+        d = rng.uniform(-0.09, 0.09, size=(3, 2))
+        tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
+    for _ in range(6):                         # global-section faces
+        c = rng.uniform(-0.1, 0.1, size=2)
+        z = rng.uniform(-0.05, 0.05)
+        s = 0.17
+        tri([[c[0] - s, c[1] - s, z], [c[0] + s, c[1] - s, z],
+             [c[0], c[1] + s, z]])
+    # near-plane-invalid face whose clamped projection covers the window
+    # center; must not rasterize at all
+    tri([[-0.02, -0.02, -0.3495], [0.1, 0.0, -0.05], [0.0, 0.1, -0.05]])
+    # zero-area degenerates: repeated vertex and collinear
+    tri([[0.05, 0.05, 0.0]] * 3)
+    tri([[-0.1, 0.0, 0.01], [0.0, 0.0, 0.01], [0.1, 0.0, 0.01]])
+    return (jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
+            jnp.asarray(colors, jnp.float32))
+
+
 def test_fuzz_mixed_soup_matches_brute_force():
     """Adversarial mixed soup, seeded: small faces, tile-spanning faces,
     >2x2-tile global-section faces, a near-plane-invalid face and zero-area
@@ -310,43 +348,10 @@ def test_fuzz_mixed_soup_matches_brute_force():
     Kf = jnp.asarray([[100.0, 0.0, 48.0], [0.0, 100.0, 48.0],
                       [0.0, 0.0, 1.0]], jnp.float32)
     for seed in (0, 1):
-        rng = np.random.default_rng(seed)
-        verts, faces, colors = [], [], []
-
-        def tri(pts):
-            base = len(verts)
-            verts.extend([list(map(float, p)) for p in pts])
-            faces.append([base, base + 1, base + 2])
-            colors.extend(rng.uniform(0, 1, size=(3, 3)).tolist())
-
-        for _ in range(40):                        # few-pixel faces
-            c = rng.uniform(-0.25, 0.25, size=2)
-            z = rng.uniform(-0.05, 0.05)
-            d = rng.uniform(-0.02, 0.02, size=(3, 2))
-            tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
-        for _ in range(10):                        # tile-spanning faces
-            c = rng.uniform(-0.2, 0.2, size=2)
-            z = rng.uniform(-0.05, 0.05)
-            d = rng.uniform(-0.09, 0.09, size=(3, 2))
-            tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
-        for _ in range(6):                         # global-section faces
-            c = rng.uniform(-0.1, 0.1, size=2)
-            z = rng.uniform(-0.05, 0.05)
-            s = 0.17
-            tri([[c[0] - s, c[1] - s, z], [c[0] + s, c[1] - s, z],
-                 [c[0], c[1] + s, z]])
-        # near-plane-invalid face whose clamped projection covers the
-        # window center; must not rasterize at all
-        tri([[-0.02, -0.02, -0.3495], [0.1, 0.0, -0.05], [0.0, 0.1, -0.05]])
-        # zero-area degenerates: repeated vertex and collinear
-        tri([[0.05, 0.05, 0.0]] * 3)
-        tri([[-0.1, 0.0, 0.01], [0.0, 0.0, 0.01], [0.1, 0.0, 0.01]])
-
+        soup_v, soup_f, soup_c = _mixed_soup(seed)
         T = np.eye(4, dtype=np.float32)
         T[2, 3] = 0.35
-        args = (jnp.asarray(verts, jnp.float32),
-                jnp.asarray(faces, jnp.int32),
-                jnp.asarray(colors, jnp.float32), jnp.asarray(T), Kf)
+        args = (soup_v, soup_f, soup_c, jnp.asarray(T), Kf)
 
         colb, depb = render_view(*args, width=96, height=96, face_chunk=8)
         colp, depp = render_view_tiled_pallas(
@@ -394,3 +399,61 @@ def test_point_degenerate_face_never_rasterizes():
         assert 0 < (d > 0).sum() < 600
     np.testing.assert_allclose(np.asarray(depx), np.asarray(depb), atol=1e-5)
     np.testing.assert_allclose(np.asarray(depp), np.asarray(depb), atol=1e-5)
+
+
+def test_fuzz_slot_sparse_mixed_soup():
+    """The production slot-sparse generation path (dataset._patch_from_slots
+    over render_views_slots_pallas) against the full-window epilogue +
+    sample_patch pipeline on the adversarial mixed soup: global-section
+    faces, degenerates and a near-plane-invalid face must not perturb the
+    slot packing or the tap-sparse color evaluation (depth bit-exact,
+    attributes to one f32 ulp — same contract as the fixture-mesh test)."""
+    from pose3d_tpu.data.dataset import _patch_from_slots
+    from pose3d_tpu.ops.geometry import depth2normals
+    from pose3d_tpu.ops.patch import sample_patch
+    from pose3d_tpu.render.rasterizer_pallas import (
+        render_views_slots_pallas, render_views_tiled_pallas)
+
+    fx, fy = 100.0, 100.0
+    oxw = jnp.float32(32.0)
+    oyw = jnp.float32(32.0)
+    for seed in (3, 4):
+        soup_v, soup_f, soup_c = _mixed_soup(seed)
+        poses = []
+        for rz, z in ((0.4, 0.4), (-1.1, 0.5)):
+            c, s = np.cos(rz), np.sin(rz)
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                                   np.float32)
+            T[2, 3] = z
+            poses.append(T)
+        poses = jnp.asarray(np.stack(poses))
+        args = (soup_v, soup_f, soup_c, poses, K)
+        zs = poses[:, 2, 3]
+
+        col, dep, _ = render_views_tiled_pallas(
+            *args, width=64, height=64, tile=32, capacity=64,
+            face_chunk=32, global_capacity=64, interpret=_interp(),
+            return_overflow=True)
+        old = jax.vmap(lambda c, d, z: sample_patch(
+            c * 255.0, d, depth2normals(d, fx, fy), oxw, oyw, z,
+            fx=fx, fy=fy))(col, dep, zs)
+
+        dep2, slot, pf, attrs, _ = render_views_slots_pallas(
+            *args, width=64, height=64, tile=32, capacity=64,
+            face_chunk=32, global_capacity=64, interpret=_interp())
+        new = jax.vmap(lambda d, s, p, a, z: _patch_from_slots(
+            d, s, p, a, jnp.zeros((1, 1, 3), jnp.float32), False,
+            oxw, oyw, z, fx, fy))(dep2, slot, pf, attrs, zs)
+
+        assert float(jnp.sum(dep > 0)) > 100       # soup is in frame
+        np.testing.assert_array_equal(np.asarray(dep2), np.asarray(dep))
+        np.testing.assert_array_equal(np.asarray(new)[..., 3],
+                                      np.asarray(old)[..., 3])
+        # attributes: the fixture-mesh test holds 1 ulp on axis-aligned
+        # geometry; the random soup's steep color/normal gradients expose
+        # a few ~5-ulp FMA-contraction differences between the two
+        # separately-fused programs (0.07% of elements) — still pure
+        # rounding, the depth/background bit above stays exact
+        np.testing.assert_allclose(np.asarray(new), np.asarray(old),
+                                   atol=1e-6)
