@@ -120,3 +120,41 @@ def fixture_db(tmp_path_factory_or_path, monkeypatch):
         db.generate_datasets()
         _DB_CACHE["db"] = (db, cfg)
     return _DB_CACHE["db"]
+
+
+def _mixed_soup(seed):
+    """Adversarial random soup: small, tile-spanning and >2x2-tile faces
+    plus a near-plane-invalid face and zero-area degenerates."""
+    rng = np.random.default_rng(seed)
+    verts, faces, colors = [], [], []
+
+    def tri(pts):
+        base = len(verts)
+        verts.extend([list(map(float, p)) for p in pts])
+        faces.append([base, base + 1, base + 2])
+        colors.extend(rng.uniform(0, 1, size=(3, 3)).tolist())
+
+    for _ in range(40):                        # few-pixel faces
+        c = rng.uniform(-0.25, 0.25, size=2)
+        z = rng.uniform(-0.05, 0.05)
+        d = rng.uniform(-0.02, 0.02, size=(3, 2))
+        tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
+    for _ in range(10):                        # tile-spanning faces
+        c = rng.uniform(-0.2, 0.2, size=2)
+        z = rng.uniform(-0.05, 0.05)
+        d = rng.uniform(-0.09, 0.09, size=(3, 2))
+        tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
+    for _ in range(6):                         # global-section faces
+        c = rng.uniform(-0.1, 0.1, size=2)
+        z = rng.uniform(-0.05, 0.05)
+        s = 0.17
+        tri([[c[0] - s, c[1] - s, z], [c[0] + s, c[1] - s, z],
+             [c[0], c[1] + s, z]])
+    # near-plane-invalid face whose clamped projection covers the window
+    # center; must not rasterize at all
+    tri([[-0.02, -0.02, -0.3495], [0.1, 0.0, -0.05], [0.0, 0.1, -0.05]])
+    # zero-area degenerates: repeated vertex and collinear
+    tri([[0.05, 0.05, 0.0]] * 3)
+    tri([[-0.1, 0.0, 0.01], [0.0, 0.0, 0.01], [0.1, 0.0, 0.01]])
+    return (jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
+            jnp.asarray(colors, jnp.float32))

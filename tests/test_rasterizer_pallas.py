@@ -3,6 +3,7 @@ import jax
 import jax.numpy as jnp
 
 from pose3d_tpu.render import make_test_mesh
+from fixtures import _mixed_soup
 from pose3d_tpu.render.rasterizer import render_view
 from pose3d_tpu.render.rasterizer_pallas import (render_view_pallas,
                                                  render_view_tiled_pallas)
@@ -296,44 +297,6 @@ def test_slot_sparse_patch_textured_identical():
     np.testing.assert_array_equal(np.asarray(new)[..., 3],
                                   np.asarray(old)[..., 3])
     np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=2e-7)
-
-
-def _mixed_soup(seed):
-    """Adversarial random soup: small, tile-spanning and >2x2-tile faces
-    plus a near-plane-invalid face and zero-area degenerates."""
-    rng = np.random.default_rng(seed)
-    verts, faces, colors = [], [], []
-
-    def tri(pts):
-        base = len(verts)
-        verts.extend([list(map(float, p)) for p in pts])
-        faces.append([base, base + 1, base + 2])
-        colors.extend(rng.uniform(0, 1, size=(3, 3)).tolist())
-
-    for _ in range(40):                        # few-pixel faces
-        c = rng.uniform(-0.25, 0.25, size=2)
-        z = rng.uniform(-0.05, 0.05)
-        d = rng.uniform(-0.02, 0.02, size=(3, 2))
-        tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
-    for _ in range(10):                        # tile-spanning faces
-        c = rng.uniform(-0.2, 0.2, size=2)
-        z = rng.uniform(-0.05, 0.05)
-        d = rng.uniform(-0.09, 0.09, size=(3, 2))
-        tri([[c[0] + d[i, 0], c[1] + d[i, 1], z] for i in range(3)])
-    for _ in range(6):                         # global-section faces
-        c = rng.uniform(-0.1, 0.1, size=2)
-        z = rng.uniform(-0.05, 0.05)
-        s = 0.17
-        tri([[c[0] - s, c[1] - s, z], [c[0] + s, c[1] - s, z],
-             [c[0], c[1] + s, z]])
-    # near-plane-invalid face whose clamped projection covers the window
-    # center; must not rasterize at all
-    tri([[-0.02, -0.02, -0.3495], [0.1, 0.0, -0.05], [0.0, 0.1, -0.05]])
-    # zero-area degenerates: repeated vertex and collinear
-    tri([[0.05, 0.05, 0.0]] * 3)
-    tri([[-0.1, 0.0, 0.01], [0.0, 0.0, 0.01], [0.1, 0.0, 0.01]])
-    return (jnp.asarray(verts, jnp.float32), jnp.asarray(faces, jnp.int32),
-            jnp.asarray(colors, jnp.float32))
 
 
 def test_fuzz_mixed_soup_matches_brute_force():

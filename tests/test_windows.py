@@ -117,3 +117,52 @@ def test_clipped_pallas_path_matches_xla_clipped():
     np.testing.assert_allclose(np.asarray(colp), np.asarray(colx),
                                atol=1e-5)
     assert (np.asarray(depp) > 0).sum() > 100
+
+
+def test_fuzz_clipped_soup_equals_fullframe_crop():
+    """Clipped-window rendering on the adversarial mixed soup (fixtures.
+    _mixed_soup: global-section faces, degenerates, a near-plane-invalid
+    face) with off-center poses: both clipped paths must equal the
+    full-frame render cropped at each traced window, with the soup's AABB
+    partially offscreen so the window clamps engage."""
+    from fixtures import _mixed_soup
+    from pose3d_tpu.render.rasterizer_pallas import \
+        render_views_clipped_pallas
+    soup_v, soup_f, soup_c = _mixed_soup(6)
+    vv = np.asarray(soup_v)
+    corners = np.stack(np.meshgrid(*[(vv[:, i].min(), vv[:, i].max())
+                                     for i in range(3)],
+                                   indexing="ij"), -1).reshape(-1, 3)
+    # far enough that the soup's AABB projects to a SUB-frame window
+    # (a full-frame clamp would make the crop comparison trivial)
+    poses = np.stack([_offcenter_pose(0.25, -0.20, 2.0, 25),
+                      _offcenter_pose(-0.30, 0.15, 2.2, 140)])
+    args = (soup_v, soup_f, soup_c)
+    colx, depx, x0x, y0x = render_views_clipped(
+        *args, jnp.asarray(poses), jnp.asarray(K), corners,
+        img_w=W, img_h=H, tile=32, capacity=64, face_chunk=32)
+    colp, depp, x0p, y0p = render_views_clipped_pallas(
+        *args, jnp.asarray(poses), jnp.asarray(K), corners,
+        img_w=W, img_h=H, tile=32, capacity=64, face_chunk=32,
+        interpret=True)
+    np.testing.assert_array_equal(x0x, x0p)
+    np.testing.assert_array_equal(y0x, y0p)
+    h, w = depx.shape[1:3]
+    assert (h, w) != (H, W)                      # clamps actually clipped
+    for i, pose in enumerate(poses):
+        colf, depf = render_view_tiled(
+            *args, jnp.asarray(pose), jnp.asarray(K), width=W, height=H,
+            tile=32, capacity=64, face_chunk=32)
+        x0, y0 = int(x0x[i]), int(y0x[i])
+        crop_d = np.asarray(depf)[y0:y0 + h, x0:x0 + w]
+        crop_c = np.asarray(colf)[y0:y0 + h, x0:x0 + w]
+        assert (np.asarray(depx[i]) > 0).sum() > 100
+        # depth atol 5e-5 (25 um at this ~2 m range): the clipped program
+        # centers its edge-function coordinates on the WINDOW, the full
+        # frame on the image, so a borderline coverage-sliver pixel can
+        # round to a winner whose interpolated depth differs by a few
+        # dozen ulps (~0.01% of pixels on this soup)
+        np.testing.assert_allclose(np.asarray(depx[i]), crop_d, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(colx[i]), crop_c, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(depp[i]), crop_d, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(colp[i]), crop_c, atol=1e-4)
