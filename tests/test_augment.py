@@ -103,3 +103,46 @@ def test_real_fill_without_bank_raises():
     p = jnp.stack([_patch_with_background()])
     with pytest.raises(ValueError):
         augment.random_fill(jax.random.key(0), p, 4)
+
+
+def test_fuzz_median3_matches_numpy_median():
+    """The 19-exchange Paeth median-of-9 network (_median3) must equal a
+    direct np.median over the same replicate-padded 3x3 taps on random
+    inputs — cv::medianBlur semantics (reference uses medianBlur on the
+    outline band, src/bgfill.cpp:136-158)."""
+    from pose3d_tpu.data.augment import _median3
+    rng = np.random.default_rng(31)
+    for _ in range(5):
+        img = rng.random((16, 12, 3)).astype(np.float32)
+        got = np.asarray(_median3(jnp.asarray(img)))
+        pad = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+        taps = np.stack([pad[1 + dy:1 + dy + 16, 1 + dx:1 + dx + 12]
+                         for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+        np.testing.assert_array_equal(got, np.median(taps, axis=0))
+
+
+def test_fuzz_mask_morphology_matches_numpy():
+    """3x3 dilate/erode/outline of the zero-depth mask vs a direct NumPy
+    transcription (zero-padded window max/min, cv::dilate/erode defaults)
+    on random sparse masks (reference src/bgfill.cpp:106-113)."""
+    from pose3d_tpu.data.augment import _mask_and_outline
+    rng = np.random.default_rng(37)
+    for _ in range(5):
+        depth = np.where(rng.random((20, 15)) < 0.4, 0.0,
+                         rng.random((20, 15))).astype(np.float32)
+        m, dil, outline = (np.asarray(a) for a in
+                           _mask_and_outline(jnp.asarray(depth)))
+        ref_m = depth == 0.0
+        # cv2 default morphology borders: dilate pads -max (outside counts
+        # background), erode pads +max (outside counts foreground)
+        pad = np.pad(ref_m, 1, mode="constant", constant_values=False)
+        win = np.stack([pad[1 + dy:21 + dy, 1 + dx:16 + dx]
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+        ref_dil = win.any(axis=0)
+        pad_t = np.pad(ref_m, 1, mode="constant", constant_values=True)
+        win_t = np.stack([pad_t[1 + dy:21 + dy, 1 + dx:16 + dx]
+                          for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+        ref_ero = win_t.all(axis=0)
+        np.testing.assert_array_equal(m, ref_m)
+        np.testing.assert_array_equal(dil, ref_dil)
+        np.testing.assert_array_equal(outline, ref_dil & ~ref_ero)
