@@ -98,6 +98,38 @@ def test_config_reference_ini_with_defaults(tmp_path):
     assert cfg.model_index == {"ape": 0, "cat": 1, "duck": 2}
 
 
+def test_config_shipped_reference_files():
+    """The two INI files the reference actually ships load verbatim.
+
+    Pins the real-file quirks a synthetic fixture can miss: a trailing
+    space after ``random_background = 3 `` (reference config.ini:15), a
+    space-free ``network_path=...`` assignment (configbb.ini:4), a rotInv
+    list LONGER than the model list (10 flags for 9 BigBIRD models,
+    configbb.ini:10-11), and ``used_models`` a strict subset of ``models``
+    (configbb.ini:12 drops syrup)."""
+    ref = "/root/reference"
+    if not os.path.exists(os.path.join(ref, "config.ini")):
+        import pytest
+        pytest.skip("reference tree not present")
+
+    cfg = load_config(os.path.join(ref, "config.ini"))
+    assert len(cfg.models) == 15 and cfg.models[0] == "ape"
+    assert cfg.used_models == cfg.models
+    assert cfg.rot_inv == [0, 0, 1, 0, 0, 0, 2, 0, 0, 2, 2, 0, 0, 0, 0]
+    assert cfg.dataset_name == "LineMOD"
+    assert cfg.random_background == 3      # trailing space stripped
+    assert cfg.nr_objects == 15
+
+    bb = load_config(os.path.join(ref, "configbb.ini"))
+    assert bb.dataset_name == "BigBIRD"
+    assert len(bb.models) == 9             # network_path= parsed w/o space
+    assert bb.used_models == [m for m in bb.models if m != "syrup"]
+    assert len(bb.rot_inv) >= len(bb.models)   # over-length list tolerated
+    assert bb.rot_inv[: len(bb.models)] == [0] * 9
+    assert bb.random_background == 0
+    assert bb.nr_objects == 8
+
+
 def test_config_validation(tmp_path):
     p = tmp_path / "bad.ini"
     p.write_text("[input]\nmodels = a\nused_models = b\n")
