@@ -103,8 +103,10 @@ def _descriptors_one_shot(apply_fn: Callable, params, patches: jnp.ndarray,
     fn = _JIT_CACHE.get(("oneshot", apply_fn))
     if fn is None:
         def _pass(params, padded):
-            return jax.lax.map(
-                lambda c: apply_fn(params, c.astype(jnp.float32)), padded)
+            # dtype handling lives in apply(): bf16-resident patches feed
+            # the serving trunk directly (an .astype(f32) here cost a
+            # whole upcast pass over the largest tensor in the pipeline)
+            return jax.lax.map(lambda c: apply_fn(params, c), padded)
         fn = _JIT_CACHE[("oneshot", apply_fn)] = jax.jit(_pass)
     N = patches.shape[0]
     pad = (-N) % chunk
@@ -188,12 +190,20 @@ def knn_tables_from_descriptors(dq: jnp.ndarray, dt: jnp.ndarray,
 
 # ---------------------------------------------------------------- histogram
 
-@partial(jax.jit, static_argnames=("k", "query_chunk"))
+@partial(jax.jit, static_argnames=("k", "query_chunk", "t_per_obj"))
 def _histogram_core(dq, dt, q_quat, t_quat, q_cls, t_cls, q_rotinv,
-                    k: int = 3, query_chunk: int = 2048):
+                    k: int = 3, query_chunk: int = 2048,
+                    t_per_obj: int | None = None):
     """Device part of computeHistogram: for each query return
     (best_dist_deg, best_found, exact_match).  Processes queries in chunks
-    so the [Q, T_all] angular-distance matrix stays bounded."""
+    so the [Q, T_all] angular-distance matrix stays bounded.
+
+    ``t_per_obj``: when the template set is object-major with a constant
+    per-object count (the [O, T] layout every caller stacks), the
+    exact-match bit only needs the angular distances to the BEST object's
+    ``t_per_obj`` templates — a [qc, T] gather+reduction instead of the
+    full [qc, T_all] pairwise matrix (which at BigBIRD-scale template DBs
+    dominated the whole evaluation; round-3 verdict item 7)."""
 
     def block(args):
         dqc, qq, qc, qr = args
@@ -219,13 +229,22 @@ def _histogram_core(dq, dt, q_quat, t_quat, q_cls, t_cls, q_rotinv,
 
         # exact match: no template of the best object is strictly closer in
         # angular distance than the chosen one (reference :325-334)
-        full_ang = Q.pairwise_angular_distance(qq, t_quat)   # [qc, Tall]
-        best_obj = t_cls[best_idx]
-        blk = t_cls[None, :] == best_obj[:, None]
-        d_best = jnp.take_along_axis(full_ang, best_idx[:, None],
-                                     axis=1)[:, 0]
-        closer = jnp.any(jnp.where(blk, full_ang, jnp.inf)
-                         < d_best[:, None], axis=1)
+        if t_per_obj is not None:
+            # object-major layout: "templates of the best object" is one
+            # contiguous group of t_per_obj rows
+            cand = t_quat.reshape(-1, t_per_obj, 4)[best_idx // t_per_obj]
+            grp_ang = Q.angular_distance(qq[:, None, :], cand)  # [qc, T]
+            d_best = jnp.take_along_axis(
+                grp_ang, (best_idx % t_per_obj)[:, None], axis=1)[:, 0]
+            closer = jnp.any(grp_ang < d_best[:, None], axis=1)
+        else:
+            full_ang = Q.pairwise_angular_distance(qq, t_quat)  # [qc, Tall]
+            best_obj = t_cls[best_idx]
+            blk = t_cls[None, :] == best_obj[:, None]
+            d_best = jnp.take_along_axis(full_ang, best_idx[:, None],
+                                         axis=1)[:, 0]
+            closer = jnp.any(jnp.where(blk, full_ang, jnp.inf)
+                             < d_best[:, None], axis=1)
         return best_dist, best_found, best_found & ~closer
 
     Qn = dq.shape[0]
@@ -242,18 +261,96 @@ def _histogram_core(dq, dt, q_quat, t_quat, q_cls, t_cls, q_rotinv,
     return (bd.reshape(-1)[:Qn], bf.reshape(-1)[:Qn], ex.reshape(-1)[:Qn])
 
 
+def _grouped_t_per_obj(tl: np.ndarray) -> Optional[int]:
+    """Template count per object when the flat template labels are
+    object-major with constant per-object count and distinct classes —
+    the layout every [O, T] stacking produces.  Enables the grouped
+    exact-match reduction in `_histogram_core`; None = use the general
+    full-matrix path."""
+    t_cls = tl[:, 0].astype(np.int64)
+    n = len(t_cls)
+    first = t_cls[0] if n else 0
+    T = int(np.argmax(t_cls != first)) if n and (t_cls != first).any() \
+        else n
+    if T == 0 or n % T != 0:
+        return None
+    grouped = t_cls.reshape(-1, T)
+    if not (grouped == grouped[:, :1]).all():
+        return None
+    if len(np.unique(grouped[:, 0])) != len(grouped):
+        return None
+    return T
+
+
 def compute_histogram(apply_fn, params, tmpl_patches, tmpl_labels,
                       query_patches, query_labels,
                       rot_inv: Sequence[int],
                       bins: Sequence[float] = HISTOGRAM_BINS,
                       k: int = 3) -> np.ndarray:
     """Full protocol histogram; returns len(bins)+2 floats like the
-    reference (normalized bins + mean + median)."""
+    reference (normalized bins + mean + median).
+
+    Resident (jnp) patch sets run descriptors + kNN + angular statistics
+    as ONE compiled program with ONE device round trip — through a
+    tunneled device, the previous 3-dispatch/3-fetch shape paid ~100 ms
+    latency per hop and dominated evaluation wall time (round-3
+    `eval_queries_per_s` was 45x below the descriptor core)."""
+    if isinstance(query_patches, jnp.ndarray) and \
+            isinstance(tmpl_patches, jnp.ndarray):
+        return _histogram_fused(apply_fn, params, tmpl_patches, tmpl_labels,
+                                query_patches, query_labels, rot_inv,
+                                bins=bins, k=k)
     dq = compute_descriptors(apply_fn, params, _flat(query_patches))
     dt = compute_descriptors(apply_fn, params, _flat(tmpl_patches))
     return histogram_from_descriptors(dq, dt, np.asarray(_flat(query_labels)),
                                       np.asarray(_flat(tmpl_labels)),
                                       rot_inv, bins=bins, k=k)
+
+
+def _histogram_fused(apply_fn, params, tmpl_patches, tmpl_labels,
+                     query_patches, query_labels, rot_inv,
+                     bins: Sequence[float] = HISTOGRAM_BINS,
+                     k: int = 3, chunk: int = 512) -> np.ndarray:
+    """One-dispatch resident path: lax.map descriptor passes + kNN +
+    angular statistics in a single jitted program, one fetch of three
+    [Q] vectors.  Bit-identical to the unfused path (same ops, same
+    order); only the dispatch structure differs."""
+    ql = np.asarray(_flat(query_labels))
+    tl = np.asarray(_flat(tmpl_labels))
+    t_per_obj = _grouped_t_per_obj(tl)
+    rot = np.asarray(rot_inv, np.int32)[ql[:, 0].astype(np.int32)]
+
+    key = ("hist_fused", apply_fn, k, t_per_obj, chunk)
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        def _prog(params, tp, qp, qq, tq, qc, tc, qr):
+            dq = _chunked_forward(apply_fn, params, qp, chunk)
+            dt = _chunked_forward(apply_fn, params, tp, chunk)
+            return _histogram_core(dq, dt, qq, tq, qc, tc, qr, k=k,
+                                   t_per_obj=t_per_obj)
+        fn = _JIT_CACHE[key] = jax.jit(_prog)
+
+    bd, bf, ex = fn(params, _flat(tmpl_patches), _flat(query_patches),
+                    jnp.asarray(ql[:, 1:5]), jnp.asarray(tl[:, 1:5]),
+                    jnp.asarray(ql[:, 0].astype(np.int32)),
+                    jnp.asarray(tl[:, 0].astype(np.int32)),
+                    jnp.asarray(rot))
+    best_dist, best_found, exact = jax.device_get((bd, bf, ex))
+    return _bin_histogram(best_dist, best_found, exact, bins)
+
+
+def _chunked_forward(apply_fn, params, patches, chunk):
+    """lax.map over fixed-size chunks (the `_descriptors_one_shot` body,
+    usable inside an enclosing jit)."""
+    N = patches.shape[0]
+    pad = (-N) % chunk
+    if pad:
+        patches = jnp.concatenate(
+            [patches, jnp.zeros((pad,) + patches.shape[1:], patches.dtype)])
+    out = jax.lax.map(
+        lambda c: apply_fn(params, c),
+        patches.reshape((-1, chunk) + patches.shape[1:]))
+    return out.reshape((-1,) + out.shape[2:])[:N]
 
 
 def histogram_from_descriptors(dq: jnp.ndarray, dt: jnp.ndarray,
@@ -266,15 +363,22 @@ def histogram_from_descriptors(dq: jnp.ndarray, dt: jnp.ndarray,
     rot_inv = np.asarray(rot_inv, np.int32)
     q_rot = rot_inv[ql[:, 0].astype(np.int32)]
 
-    best_dist, best_found, exact = _histogram_core(
+    bd, bf, ex = _histogram_core(
         dq, dt, jnp.asarray(ql[:, 1:5]), jnp.asarray(tl[:, 1:5]),
         jnp.asarray(ql[:, 0].astype(np.int32)),
         jnp.asarray(tl[:, 0].astype(np.int32)),
-        jnp.asarray(q_rot), k=k)
-    best_dist = np.asarray(best_dist)
-    best_found = np.asarray(best_found)
-    exact = np.asarray(exact)
+        jnp.asarray(q_rot), k=k, t_per_obj=_grouped_t_per_obj(tl))
+    # ONE host round trip for all three vectors (three np.asarray calls
+    # would pay the tunnel latency three times)
+    best_dist, best_found, exact = jax.device_get((bd, bf, ex))
+    return _bin_histogram(best_dist, best_found, exact, bins)
 
+
+def _bin_histogram(best_dist: np.ndarray, best_found: np.ndarray,
+                   exact: np.ndarray,
+                   bins: Sequence[float] = HISTOGRAM_BINS) -> np.ndarray:
+    """Host tail of the protocol histogram (reference
+    src/networkevaluator.cpp:311-353)."""
     histo = np.zeros(len(bins), np.float64)
     histo[0] = np.sum(~best_found)
     histo[1] = np.sum(exact)
@@ -326,8 +430,14 @@ def confusion_from_descriptors(dq: jnp.ndarray, dt: jnp.ndarray,
     first = np.argmax(same, axis=1)
     chosen = np.where(hit, cand_cls[np.arange(len(idx)), first],
                       cand_cls[:, 0])
-    for qc, cc in zip(q_cls, chosen):
-        conf[local_index[models[qc]], local_index[models[cc]]] += 1
+    # vectorized row accumulation (the per-query Python loop it replaces
+    # was O(Q) host work per logging pass — round-3 verdict item 7)
+    cls_to_local = np.array([local_index.get(m, -1) for m in models])
+    rows, cols = cls_to_local[q_cls], cls_to_local[chosen]
+    if (rows < 0).any() or (cols < 0).any():
+        bad = np.unique(np.concatenate([q_cls[rows < 0], chosen[cols < 0]]))
+        raise KeyError(f"classes {bad.tolist()} not in used_models")
+    np.add.at(conf, (rows, cols), 1.0)
     return conf / max(nr_test_poses, 1)
 
 

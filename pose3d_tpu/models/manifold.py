@@ -251,10 +251,15 @@ def apply(params: Dict, spec: NetSpec, patches: jnp.ndarray,
     """
     x = patches
     if x.shape[-1] != spec.in_channels:
+        # NOTE (round-4 measurement): folding this select into conv1 as a
+        # zero-padded [K, K, 7, O] kernel LOSES ~30% — conv1 is MXU-bound
+        # in XLA (~21% MXU at 4 input channels), so +75% conv MACs cost
+        # more than the saved slice pass.  Keep the gather.
         x = x[..., jnp.array(spec.channels)]
 
     def cast(v):
-        return v.astype(compute_dtype) if compute_dtype is not None else v
+        return v.astype(compute_dtype) if compute_dtype is not None \
+            else v.astype(jnp.float32)
 
     # In bf16 mode the conv/fc1 outputs stay bf16 too: the trunk's big
     # intermediates are what saturate HBM bandwidth (conv1's [N,57,57,16]
@@ -302,14 +307,30 @@ def apply(params: Dict, spec: NetSpec, patches: jnp.ndarray,
 
 
 @lru_cache(maxsize=64)
-def descriptor_fn(spec: NetSpec, compute_dtype=None, precision=None):
+def descriptor_fn(spec: NetSpec, compute_dtype=None, precision=None,
+                  use_pallas: bool | None = None):
     """Returns a jittable (params, patches) -> descriptors closure.
 
     Memoized on (spec, dtype, precision): jit caches are keyed by function
     IDENTITY, so a fresh closure per logging/eval pass would retrace (and
     through a tunneled device, re-dispatch compiles) every time — the
-    round-2 judge measured this on every resident-path log epoch."""
+    round-2 judge measured this on every resident-path log epoch.
+
+    ``use_pallas``: None = auto — on TPU under default (bf16-multiply)
+    precision the serving forward runs the fused conv+pool Pallas stem
+    (models/serving_pallas.py), which never materializes the conv
+    activations in HBM; the bit-parity mode (precision='highest') and CPU
+    keep the XLA path."""
     def fn(params, patches):
+        from pose3d_tpu.models import serving_pallas as SP
+        pallas = use_pallas
+        if pallas is None:
+            pallas = (jax.default_backend() == "tpu"
+                      and SP.serving_supported(spec, compute_dtype,
+                                               precision))
+        if pallas:
+            return SP.serving_apply(params, spec, patches,
+                                    compute_dtype=compute_dtype)
         return apply(params, spec, patches, compute_dtype=compute_dtype,
                      precision=precision)
     return fn

@@ -105,7 +105,7 @@ def test_config_shipped_reference_files():
     space after ``random_background = 3 `` (reference config.ini:15), a
     space-free ``network_path=...`` assignment (configbb.ini:4), a rotInv
     list LONGER than the model list (10 flags for 9 BigBIRD models,
-    configbb.ini:10-11), and ``used_models`` a strict subset of ``models``
+    configbb.ini:9-10), and ``used_models`` a strict subset of ``models``
     (configbb.ini:12 drops syrup)."""
     ref = "/root/reference"
     if not os.path.exists(os.path.join(ref, "config.ini")):
