@@ -234,13 +234,17 @@ def create_synth_samples(mesh: Mesh, cam: np.ndarray, class_idx: int,
                          scale_z: float = 0.4,
                          to_host: bool = True,
                          n_shards: int = 1,
-                         out_dtype: str = "float32") -> SampleSet:
+                         out_dtype: str = "float32",
+                         rots: Optional[tuple] = None) -> SampleSet:
     """createSynthSamplesWadim (reference src/datasetmanager.cpp:498-537),
     rendering each view only inside the metric-crop window.
 
     ``n_shards > 1`` splits the view chunks over a dp device mesh
-    (see _render_program) — generation scales ~linearly with chips."""
-    rots = (-45.0, 15.0, 45.0) if inplane else (0.0, 15.0, 10.0)
+    (see _render_program) — generation scales ~linearly with chips.
+    ``rots`` overrides the (start, step, stop) in-plane grid — e.g. a
+    shifted grid renders held-out query poses for validation fixtures."""
+    if rots is None:
+        rots = (-45.0, 15.0, 45.0) if inplane else (0.0, 15.0, 10.0)
     poses, _ = create_view_poses(subdiv, (scale_z, 1.1, 1.0), rots, True)
 
     sw, sh, x0, y0, ox, oy = _synth_window(cam, scale_z)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Callable, Iterator, Optional
 
 import jax
@@ -22,6 +23,10 @@ class DevicePrefetcher:
 
     make_batch: step index -> pytree of host numpy arrays.
     depth: number of in-flight batches (2 = classic double buffering).
+    ``stats`` records observability counters after (or during) iteration:
+    consumer stall seconds (time the training loop waited on the queue —
+    the number the reference could never report about its condvar queue),
+    producer gather/transfer seconds, and batch count.
     """
 
     def __init__(self, make_batch: Callable[[int], object], steps: int,
@@ -31,14 +36,20 @@ class DevicePrefetcher:
         self._device = device or jax.devices()[0]
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._err: Optional[BaseException] = None
+        self.stats = {"batches": 0, "consumer_stall_s": 0.0,
+                      "producer_gather_s": 0.0, "producer_put_s": 0.0}
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
     def _worker(self) -> None:
         try:
             for step in range(self._steps):
+                t0 = time.perf_counter()
                 host = self._make(step)
+                t1 = time.perf_counter()
                 dev = jax.device_put(host, self._device)  # async transfer
+                self.stats["producer_gather_s"] += t1 - t0
+                self.stats["producer_put_s"] += time.perf_counter() - t1
                 self._q.put(dev)
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
@@ -46,14 +57,15 @@ class DevicePrefetcher:
             self._q.put(None)
 
     def __iter__(self) -> Iterator:
-        produced = 0
         while True:
+            t0 = time.perf_counter()
             item = self._q.get()
+            self.stats["consumer_stall_s"] += time.perf_counter() - t0
             if item is None:
                 if self._err is not None:
                     raise self._err
                 return
-            produced += 1
+            self.stats["batches"] += 1
             yield item
 
     def __len__(self) -> int:

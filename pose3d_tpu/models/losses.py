@@ -72,17 +72,24 @@ def spec_loss(desc: jnp.ndarray, loss_slices: Tuple[Tuple[int, int, int, int],
 
 
 @jax.jit
-def binarization_loss(logits: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+def binarization_loss(logits: jnp.ndarray, beta: float = 0.3,
+                      gamma: float = 4.0) -> jnp.ndarray:
     """BinarizationLoss reconstruction (PR #2603 source is not in the repo).
 
     b = sigmoid(logits) per 5-group (anchor, puller, pushers): preserve the
-    manifold neighborhood on the binary codes (triplet-ratio + pair on b)
-    while saturating each bit toward {0, 1} via the standard
-    ``b * (1 - b)`` push-to-corner penalty.  Documented best-effort semantics;
+    manifold neighborhood on the binary codes (triplet-ratio + pair on b),
+    saturate each bit toward {0, 1} via the standard ``b * (1 - b)``
+    push-to-corner penalty, and keep bits INFORMATIVE via a balance term
+    ((batch-mean(b) - 1/2)^2 per bit).  Without the balance term the
+    corner penalty has a trivial optimum — every input mapped to the same
+    corner — which a round-4 TPU run reached in practice (all-identical
+    codes, chance-level retrieval); balance makes collapse the most
+    expensive configuration instead.  Documented best-effort semantics;
     validated by Hamming-retrieval quality, not bit parity.
     """
     b = jax.nn.sigmoid(logits)
     neighborhood = triplet_ratio_loss(b, margin=0.1, num_negatives=3,
                                       use_pair=True)
     saturation = jnp.mean(jnp.sum(b * (1.0 - b), axis=-1))
-    return neighborhood + beta * saturation
+    balance = jnp.sum((jnp.mean(b, axis=0) - 0.5) ** 2)
+    return neighborhood + beta * saturation + gamma * balance

@@ -36,8 +36,14 @@ def knn_l2(queries: jnp.ndarray, database: jnp.ndarray,
 
     def block(q):
         qn = jnp.sum(q * q, axis=1, keepdims=True)
+        # precision HIGH (3-pass bf16 decomposition): ~1e-6 relative on
+        # these 16-64-term dots — f32-grade ranking — at half the MXU
+        # passes of 'highest' (the [Q, T] matmul is the eval-pipeline
+        # bottleneck at K = desc_dim = 16, where the MXU runs at 12.5%
+        # contraction occupancy and every pass counts).  DEFAULT's 1-pass
+        # bf16 (~1e-2) would corrupt neighbor selection and stays banned.
         d2 = qn + tn - 2.0 * jnp.matmul(q, database.T,
-                                        precision="highest")
+                                        precision=jax.lax.Precision.HIGH)
         neg, idx = jax.lax.top_k(-jnp.maximum(d2, 0.0), k)
         return jnp.sqrt(-neg), idx.astype(jnp.int32)
 

@@ -515,6 +515,8 @@ class Solver:
         for _epoch in range(cfg.binarization_epochs):
             state, mean_loss = jitted(state, self.data)
             it_global += n_iters
+            log.info("binarize epoch %d mean loss %.4f", _epoch,
+                     float(mean_loss))
         self.last_binarize_loss = (float(mean_loss)
                                    if cfg.binarization_epochs else None)
         if cfg.output_path:

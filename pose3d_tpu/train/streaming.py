@@ -136,7 +136,14 @@ class StreamingSolver:
                  tables: DeviceData,
                  bg_bank: Optional[jnp.ndarray] = None,
                  noise_bank: Optional[jnp.ndarray] = None,
-                 prefetch_depth: int = 2, mesh=None):
+                 prefetch_depth: int = 2, mesh=None,
+                 transfer_dtype=None):
+        """``transfer_dtype``: numpy dtype for host->device batch uploads
+        (default float32).  ``ml_dtypes.bfloat16`` HALVES every transfer —
+        through a bandwidth-limited link the uploads are the streaming
+        bottleneck; the jitted step promotes back to f32 on device before
+        augmentation, so only the transfer is lower-precision (patch
+        values are [0, 1] with ~7 significant bits of content)."""
         self.cfg = cfg
         self.src = sources
         self.tables = tables
@@ -144,6 +151,8 @@ class StreamingSolver:
         self.noise_bank = noise_bank
         self.depth = prefetch_depth
         self.mesh = mesh
+        self.transfer_dtype = transfer_dtype
+        self.last_prefetch_stats = None
         self.spec = load_spec(cfg.network_path, cfg.net_name)
         self.batch_size = cfg.batch_size or self.spec.batch_size
         self.groups = self.batch_size // TRIPLET_SIZE
@@ -201,7 +210,10 @@ class StreamingSolver:
                 negs, _ = self.src.negatives.gather(rows)
                 tmpls[is_neg, 1] = negs
         batch = np.concatenate([anchors[:, None], tmpls], axis=1)
-        return batch.reshape(-1, *batch.shape[2:])
+        batch = batch.reshape(-1, *batch.shape[2:])
+        if self.transfer_dtype is not None:
+            batch = batch.astype(self.transfer_dtype)
+        return batch
 
     def _train_step(self):
         if self._step is not None:
@@ -212,6 +224,7 @@ class StreamingSolver:
 
         def step(state, batch):
             key, kf = jax.random.split(state["key"])
+            batch = batch.astype(jnp.float32)   # device-side promote
             if cfg.random_background != 0:
                 B = batch.shape[0]
                 g = batch.reshape(-1, TRIPLET_SIZE, *batch.shape[1:])
@@ -260,7 +273,11 @@ class StreamingSolver:
             if pad:
                 host = np.concatenate(
                     [host, np.zeros((pad,) + host.shape[1:], host.dtype)])
-            outs.append(fn(params, jnp.asarray(host))[:chunk - pad])
+            if self.transfer_dtype is not None:
+                host = host.astype(self.transfer_dtype)
+            outs.append(fn(params,
+                           jnp.asarray(host).astype(jnp.float32))
+                        [:chunk - pad])
         return jnp.concatenate(outs)
 
     def compute_knn(self, params) -> None:
@@ -325,6 +342,7 @@ class StreamingSolver:
         last_loss = None
         for batch in pf:
             state, last_loss = step(state, batch)
+        self.last_prefetch_stats = dict(pf.stats)
         return state, (float(last_loss) if last_loss is not None else 0.0)
 
     def train(self, num_epochs: Optional[int] = None,

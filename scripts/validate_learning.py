@@ -24,7 +24,14 @@ THRESHOLDS = {"wrong_class_max": 0.02, "lt20_min": 0.95,
 
 
 def main(base: str = "/tmp/p3d_validate",
-         artifact: str | None = None, bf16_train: bool = False) -> int:
+         artifact: str | None = None, bf16_train: bool = False,
+         bg_mode: int = 1) -> int:
+    """``bg_mode`` selects the background augmentation under gate:
+    1 = color noise (the round-2/3 gated mode), 3 = SimplexFractal (the
+    reference's actual LineMOD default — config.ini:14 maps to fractal in
+    src/datasetmanager.cpp:786-800), -1 = per-sample mix, 4 = real-bank
+    paste (gated against the hermetic synthetic_crop_bank).  Each mode
+    must clear the SAME thresholds (round-3 verdict item 6)."""
     from make_disk_fixture import make_linemod_fixture, write_fixture_config
     from pose3d_tpu.config import load_config
     from pose3d_tpu.data.dataset import DatasetManager
@@ -56,7 +63,7 @@ def main(base: str = "/tmp/p3d_validate",
     cfg = dataclasses.replace(
         cfg, template_subdiv=2, training_subdiv=2, num_training_rounds=8,
         num_bootstrapping_rounds=2, num_epochs=1, log_epoch=2,
-        batch_size=300, random_background=1)
+        batch_size=300, random_background=bg_mode)
     if bf16_train:
         # gate the OPT-IN bf16 training mode (config compute_dtype):
         # bf16 trunk intermediates through the fused train step — the
@@ -73,7 +80,16 @@ def main(base: str = "/tmp/p3d_validate",
           f"test {data.test_patches.shape} ({time.time()-t0:.0f}s)",
           flush=True)
 
-    solver = Solver(cfg, data)
+    bg_bank = None
+    if bg_mode in (4, -1):
+        # hermetic bank for the real-paste mode (mode 4; the mix mode -1
+        # draws it too) — backgrounds.synthetic_crop_bank reproduces the
+        # bank statistics without a dataset download
+        import jax.numpy as _j
+        from pose3d_tpu.data.backgrounds import synthetic_crop_bank
+        bg_bank = _j.asarray(synthetic_crop_bank(256, seed=5))
+
+    solver = Solver(cfg, data, bg_bank=bg_bank)
     state = solver.train()
     print(f"trained {int(state['iter'])} iters in {time.time()-t0:.0f}s",
           flush=True)
@@ -142,6 +158,7 @@ def main(base: str = "/tmp/p3d_validate",
         "platform": jax.default_backend(),
         "protocol": "procedural LineMOD fixture, 48 real frames/object, "
                     "subdiv 2/2, 8+2 rounds",
+        "random_background_mode": bg_mode,
         "train_compute_dtype": cfg.compute_dtype,
         "test_patches": int(np.prod(data.test_patches.shape[:2])),
         "train_iters": int(state["iter"]),
@@ -168,5 +185,11 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     bf16 = "--bf16-train" in args
     args = [a for a in args if a != "--bf16-train"]
+    mode = 1
+    if "--mode" in args:
+        i = args.index("--mode")
+        mode = int(args[i + 1])
+        del args[i:i + 2]
     sys.exit(main(args[0] if args else "/tmp/p3d_validate",
-                  args[1] if len(args) > 1 else None, bf16_train=bf16))
+                  args[1] if len(args) > 1 else None, bf16_train=bf16,
+                  bg_mode=mode))
