@@ -3,10 +3,10 @@
 The `manifold_wang` configuration (reference configbb.ini:8-18 +
 network/manifold_wang.prototxt:4,104: 64-D descriptors, 4 input channels,
 dozens of objects) at a scale where the RESIDENT training path cannot
-exist: 48 procedural objects x (623 subdiv-2 templates + 2359 subdiv-3
-training views) of f32 7-channel patches = ~16.6 GB of sample tensors —
-over the single v5e chip's 16 GB HBM.  The out-of-core third of the
-codebase carries it end to end:
+exist: 56 procedural objects x (623 subdiv-2 templates + 2359 subdiv-3
+training views) of f32 7-channel patches = ~19.2 GB of sample tensors —
+over the v5e chip's 16 GiB HBM.  The out-of-core third of the codebase
+carries it end to end:
 
   dataset build: device-rendered (one dispatch per mesh, pipelined
     fetches) -> flat native mmap caches (data/native_cache.py format,
@@ -20,14 +20,25 @@ codebase carries it end to end:
   evaluation: streamed template descriptors + a held-out-pose query
     subsample through the protocol histogram, with retrieval gates.
 
+PROCESS RECYCLING (this image's tunnel): the axon PJRT client retains
+every host->device transfer payload in host anon memory for the life of
+the process (measured 33 MB retained per 34 MB device_put; explicit
+Array.delete() does not release it; device->host fetches do NOT leak).
+A streamed epoch uploads ~38 GB of batches, so a single process OOMs the
+125 GB host partway through round 3 (observed: oom-killed at 130 GB
+anon RSS).  Each training round therefore runs in a fresh subprocess
+with checkpoint handoff — the same snapshot/restore(+recompute-kNN)
+lifecycle the reference uses for resume (src/networksolver.cpp:304-310),
+exercised once per round.
+
 Run: PYTHONPATH=.:/root/.axon_site python scripts/validate_wang_streaming.py
-Writes LEARNING_WANG_r4.json.  Wall time is dominated by the tunnel link
-(~58 MB/s host->device, ~20 MB/s device->host on this image); every
-transfer byte is recorded in the artifact.
+Writes LEARNING_WANG_r4.json.  Wall time is dominated by the tunnel link;
+every phase is recorded in the artifact.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 from collections import deque
@@ -36,11 +47,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-N_OBJECTS = 48
+N_OBJECTS = 56
+# the first BASE_OBJECTS live in train.cache/templates.cache; later
+# objects extend via train_ext.cache/templates_ext.cache so a smaller
+# earlier build is reused, not rebuilt (the render alone is ~35 s/object
+# through this tunnel)
+BASE_OBJECTS = 48
 TMPL_SUBDIV, TRAIN_SUBDIV = 2, 3
 N_NEGS = 64
 PAIR_BASES = [0, 2, 4]      # objects 0/1, 2/3, 4/5 are near-identical pairs
-HBM_BYTES = 16 * 1024**3
+HBM_BYTES = 16 * 1024**3    # v5e HBM (nominal spec)
+TRAIN_ROUNDS, BOOT_ROUNDS = 2, 1
 
 SHAPE_KINDS = ["cube", "tetra", "sphere", "cylinder", "cone", "torus"]
 
@@ -88,31 +105,67 @@ class _CacheWriter:
         self.f.close()
 
 
-def build_caches(base, shapes, log):
-    """Device-render all objects into train/templates caches (pipelined:
-    up to 3 meshes in flight while the oldest fetches/writes)."""
+class ConcatCaches:
+    """Row-concatenation of NativeCaches (obj-major row spaces laid
+    end-to-end) behind the same gather() interface — lets an extension
+    build reuse an existing cache file untouched."""
+
+    def __init__(self, caches):
+        self.caches = caches
+        self.offsets = np.cumsum([0] + [c.n for c in caches])
+        self.n = int(self.offsets[-1])
+        first = caches[0]
+        self.c, self.h, self.w = first.c, first.h, first.w
+        self.label_dim = first.label_dim
+
+    def gather(self, rows):
+        rows = np.asarray(rows, np.int64)
+        out_p = None
+        out_l = np.empty((len(rows), self.label_dim), np.float32)
+        for i, cache in enumerate(self.caches):
+            sel = (rows >= self.offsets[i]) & (rows < self.offsets[i + 1])
+            if not sel.any():
+                continue
+            p, l = cache.gather(rows[sel] - self.offsets[i])
+            if out_p is None:
+                out_p = np.empty((len(rows),) + p.shape[1:], p.dtype)
+            out_p[sel] = p
+            out_l[sel] = l
+        return out_p, out_l
+
+    def close(self):
+        for c in self.caches:
+            c.close()
+
+
+def _build_cache_files(base, shapes, obj_lo, obj_hi, suffix, log):
+    """Device-render objects [obj_lo, obj_hi) into train{suffix}.cache /
+    templates{suffix}.cache (pipelined: up to 3 meshes in flight while the
+    oldest fetches/writes).  Labels carry the GLOBAL object index."""
     import jax
     import jax.numpy as jnp
     from pose3d_tpu.data.benchmarks import LINEMOD_K
     from pose3d_tpu.data.dataset import create_synth_samples_pair
     from pose3d_tpu.render import make_test_mesh
 
-    train_p = os.path.join(base, "train.cache")
-    tmpl_p = os.path.join(base, "templates.cache")
-    lab_p = os.path.join(base, "labels.npz")
+    train_p = os.path.join(base, f"train{suffix}.cache")
+    tmpl_p = os.path.join(base, f"templates{suffix}.cache")
+    lab_p = os.path.join(base, f"labels{suffix}.npz")
     if all(os.path.exists(p) for p in (train_p, tmpl_p, lab_p)):
         z = np.load(lab_p)
         return z["train"], z["tmpl"], 0.0, 0.0
 
+    n_obj = obj_hi - obj_lo
     t0 = time.time()
     # one probe mesh sizes the shared program's counts
+    k0, s0, d0 = shapes[obj_lo]
     probe_t, probe_s, probe_ovf, probe_retry = create_synth_samples_pair(
-        make_test_mesh(*shapes[0]), LINEMOD_K, 0, TMPL_SUBDIV,
+        make_test_mesh(k0, s0, detail=d0), LINEMOD_K, obj_lo, TMPL_SUBDIV,
         TRAIN_SUBDIV, True, to_host=False, defer_overflow=True,
         out_dtype="bfloat16")
     n_t, n_s = len(probe_t.patches), len(probe_s.patches)
-    wt = _CacheWriter(train_p + ".tmp", N_OBJECTS * n_s, 7, 64, 64, 8)
-    wm = _CacheWriter(tmpl_p + ".tmp", N_OBJECTS * n_t, 7, 64, 64, 8)
+    wt = _CacheWriter(train_p + ".tmp", n_obj * n_s, 7, 64, 64, 8)
+    wm = _CacheWriter(tmpl_p + ".tmp", n_obj * n_t, 7, 64, 64, 8)
     train_l, tmpl_l = [], []
     fetch_s = 0.0
     inflight = deque()
@@ -133,10 +186,11 @@ def build_caches(base, shapes, log):
         log(f"  obj {i}: fetched+cached {len(tp)}+{len(sp)} views "
             f"(+{time.time()-t0:.0f}s)")
 
-    for i, (k, s, d) in enumerate(shapes):
-        if i == 0:
-            inflight.append((0, probe_t, probe_s, probe_ovf, probe_retry))
+    for i in range(obj_lo, obj_hi):
+        if i == obj_lo:
+            inflight.append((i, probe_t, probe_s, probe_ovf, probe_retry))
         else:
+            k, s, d = shapes[i]
             tmpl, synth, ovf, retry = create_synth_samples_pair(
                 make_test_mesh(k, s, detail=d), LINEMOD_K, i,
                 TMPL_SUBDIV, TRAIN_SUBDIV, True, to_host=False,
@@ -156,28 +210,145 @@ def build_caches(base, shapes, log):
     return trl, tml, time.time() - t0, fetch_s
 
 
+def build_caches(base, shapes, log):
+    """All-object caches: the base file pair (first BASE_OBJECTS) plus an
+    extension pair for the rest, concatenated."""
+    n_base = min(BASE_OBJECTS, N_OBJECTS)
+    trl, tml, b1, f1 = _build_cache_files(base, shapes, 0, n_base, "", log)
+    b2 = f2 = 0.0
+    if N_OBJECTS > n_base:
+        trl2, tml2, b2, f2 = _build_cache_files(
+            base, shapes, n_base, N_OBJECTS, "_ext", log)
+        trl = np.concatenate([trl, trl2])
+        tml = np.concatenate([tml, tml2])
+    return trl, tml, b1 + b2, f1 + f2
+
+
+def open_train_templates(base):
+    from pose3d_tpu.data.native_cache import NativeCache
+    pairs = []
+    for stem in ("train", "templates"):
+        caches = [NativeCache(os.path.join(base, f"{stem}.cache"))]
+        ext = os.path.join(base, f"{stem}_ext.cache")
+        if os.path.exists(ext):
+            caches.append(NativeCache(ext))
+        pairs.append(ConcatCaches(caches) if len(caches) > 1 else caches[0])
+    return pairs
+
+
 def build_negatives(base, tmpl_cache, n_t):
     """negs_<m> analogue: for each paired object, the partner's first
     N_NEGS template patches (the confusable impostors)."""
-    from pose3d_tpu.data.native_cache import NativeCache
-    negs_p = os.path.join(base, "negs.cache")
+    negs_p = os.path.join(base, f"negs{N_OBJECTS}.cache")
     counts = np.zeros(N_OBJECTS, np.int32)
     for b in PAIR_BASES:
         counts[b] = counts[b + 1] = N_NEGS
     if os.path.exists(negs_p):
         return negs_p, counts
     w = _CacheWriter(negs_p + ".tmp", N_OBJECTS * N_NEGS, 7, 64, 64, 8)
-    src = NativeCache(tmpl_cache)
     for o in range(N_OBJECTS):
         partner = o + 1 if o % 2 == 0 else o - 1
         use = partner if counts[o] else o     # unpaired rows never drawn
         rows = np.arange(use * n_t, use * n_t + N_NEGS)
-        p, l = src.gather(rows)
+        p, l = tmpl_cache.gather(rows)
         w.append(p, l)
-    src.close()
     w.close()
     os.replace(negs_p + ".tmp", negs_p)
     return negs_p, counts
+
+
+def _setup(base, log):
+    """Shared by the parent and the per-round children: config, mining
+    tables, streaming sources, solver."""
+    import ml_dtypes
+
+    from pose3d_tpu.config import Config
+    from pose3d_tpu.data.native_cache import NativeCache
+    from pose3d_tpu.train.streaming import (StreamingSolver,
+                                            StreamingSources, light_tables)
+
+    shapes = _shapes()
+    trl, tml, build_s, fetch_s = build_caches(base, shapes, log)
+    O, Ntr = trl.shape[:2]
+    T = tml.shape[1]
+
+    train_cache, tmpl_cache = open_train_templates(base)
+    negs_p, neg_counts = build_negatives(base, tmpl_cache, T)
+
+    names = [f"{k}{i}" for i, (k, _, _) in enumerate(shapes)]
+    cfg = Config(models=names, used_models=names, rot_inv=[0] * O,
+                 inplane=True, use_real=False, random_background=1,
+                 net_name="manifold_wang", num_epochs=1,
+                 num_training_rounds=TRAIN_ROUNDS,
+                 num_bootstrapping_rounds=BOOT_ROUNDS,
+                 log_epoch=10**9, batch_size=300,
+                 output_path=os.path.join(base, "out") + "/")
+    cfg.validate()
+    os.makedirs(cfg.output_path, exist_ok=True)
+
+    tables = light_tables(trl, tml, np.zeros(O, np.int32), inplane=True,
+                          hard_neg_count=neg_counts)
+    src = StreamingSources(
+        train=train_cache, templates=tmpl_cache,
+        nr_objects=O, nr_training_poses=Ntr, nr_template_poses=T,
+        negatives=NativeCache(negs_p), max_negatives=N_NEGS)
+    solver = StreamingSolver(cfg, src, tables,
+                             transfer_dtype=ml_dtypes.bfloat16)
+    return (trl, tml, build_s, fetch_s, cfg, src, solver)
+
+
+def run_round(base: str, rnd: int) -> int:
+    """Child process: one training round (epoch), checkpoint handoff."""
+    import jax
+    from pose3d_tpu.utils.tpuguard import require_tpu
+    require_tpu()
+    jax.config.update("jax_compilation_cache_dir", "/tmp/p3d_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    from pose3d_tpu.train import checkpoint
+
+    def log(msg):
+        print(msg, flush=True)
+
+    jnp.zeros((8, 128)).sum().block_until_ready()
+    trl, tml, _, _, cfg, src, solver = _setup(base, log)
+    O = src.nr_objects
+
+    state = solver.init_state()
+    if rnd > 0:
+        path, it = checkpoint.latest(cfg.output_path, cfg.net_name)
+        state = checkpoint.restore(path, state)
+        log(f"round {rnd}: restored {path} (iter {it})")
+
+    stats = {"round": rnd}
+    bootstrapping = rnd >= cfg.num_training_rounds
+    if bootstrapping:
+        tk = time.time()
+        solver.compute_knn(state["params"])
+        stats["knn_mine_seconds"] = round(time.time() - tk, 1)
+        log(f"bootstrap kNN mined over "
+            f"{O*(src.nr_training_poses+src.nr_template_poses)} streamed "
+            f"descriptors ({stats['knn_mine_seconds']}s)")
+
+    ek = jax.random.fold_in(jax.random.key(cfg.seed + 99), rnd)
+    te = time.time()
+    state, loss = solver.train_epoch(state, ek, bootstrapping)
+    dt = time.time() - te
+    st = solver.last_prefetch_stats
+    stats.update({
+        "bootstrapping": bootstrapping,
+        "seconds": round(dt, 1), "loss": round(loss, 4),
+        "samples_per_s": round(st["batches"] * solver.batch_size / dt, 1),
+        "consumer_stall_s": round(st["consumer_stall_s"], 1),
+        "producer_gather_s": round(st["producer_gather_s"], 1),
+    })
+    checkpoint.save(cfg.output_path, cfg.net_name, int(state["iter"]), state)
+    with open(os.path.join(base, f"round_{rnd}.json"), "w") as f:
+        json.dump(stats, f)
+    log(f"round {rnd} (boot={bootstrapping}): {dt:.0f}s, "
+        f"{stats['samples_per_s']:,.0f} streamed samples/s, stall "
+        f"{st['consumer_stall_s']:.0f}s, loss {loss:.4f}")
+    return 0
 
 
 def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
@@ -189,82 +360,51 @@ def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
     import jax.numpy as jnp
     import ml_dtypes
 
-    from pose3d_tpu.config import Config
-    from pose3d_tpu.data.native_cache import NativeCache
     from pose3d_tpu.eval import evaluator
-    from pose3d_tpu.train.streaming import (StreamingSolver,
-                                            StreamingSources, light_tables)
+    from pose3d_tpu.train import checkpoint
 
     os.makedirs(base, exist_ok=True)
-    shapes = _shapes()
 
     def log(msg):
         print(msg, flush=True)
 
     t_all = time.time()
     jnp.zeros((8, 128)).sum().block_until_ready()
-    trl, tml, build_s, fetch_s = build_caches(base, shapes, log)
+    trl, tml, build_s, fetch_s, cfg, src, solver = _setup(base, log)
     O, Ntr = trl.shape[:2]
     T = tml.shape[1]
     log(f"caches ready: {O} objects, {Ntr} train + {T} template poses "
         f"each (build {build_s:.0f}s, fetch {fetch_s:.0f}s)")
 
-    negs_p, neg_counts = build_negatives(
-        base, os.path.join(base, "templates.cache"), T)
-
     resident_bytes = O * (Ntr + T) * 64 * 64 * 7 * 4
     log(f"resident-f32 requirement: {resident_bytes/1e9:.1f} GB vs "
         f"{HBM_BYTES/1e9:.1f} GB HBM -> streaming is the only path")
-
-    names = [f"{k}{i}" for i, (k, _, _) in enumerate(shapes)]
-    cfg = Config(models=names, used_models=names, rot_inv=[0] * O,
-                 inplane=True, use_real=False, random_background=1,
-                 net_name="manifold_wang", num_epochs=1,
-                 num_training_rounds=3, num_bootstrapping_rounds=1,
-                 log_epoch=10**9, batch_size=300, output_path="")
-    cfg.validate()
-
-    tables = light_tables(trl, tml, np.zeros(O, np.int32), inplane=True,
-                          hard_neg_count=neg_counts)
-    src = StreamingSources(
-        train=NativeCache(os.path.join(base, "train.cache")),
-        templates=NativeCache(os.path.join(base, "templates.cache")),
-        nr_objects=O, nr_training_poses=Ntr, nr_template_poses=T,
-        negatives=NativeCache(negs_p), max_negatives=N_NEGS)
-    solver = StreamingSolver(cfg, src, tables,
-                             transfer_dtype=ml_dtypes.bfloat16)
     log(f"epoch_iter {solver.epoch_iter} (batch {solver.batch_size})")
 
+    # ---- training: one subprocess per round (see module docstring —
+    # bounds the tunnel client's h2d payload retention to one round's
+    # uploads; checkpoint handoff exercises the reference's
+    # resume(+recompute-kNN) lifecycle every round)
     t_train = time.time()
     epoch_stats = []
-    state = solver.init_state()
-    key = jax.random.key(cfg.seed + 99)
     total_rounds = cfg.num_training_rounds + cfg.num_bootstrapping_rounds
-    bootstrapping = False
+    for f in os.listdir(cfg.output_path):   # stale handoffs from a prior run
+        if f.endswith(".ckpt"):
+            os.remove(os.path.join(cfg.output_path, f))
     for rnd in range(total_rounds):
-        if rnd >= cfg.num_training_rounds and not bootstrapping:
-            tk = time.time()
-            solver.compute_knn(state["params"])
-            bootstrapping = True
-            log(f"bootstrap kNN mined over {O*(Ntr+T)} streamed "
-                f"descriptors ({time.time()-tk:.0f}s)")
-        key, ek = jax.random.split(key)
-        te = time.time()
-        state, loss = solver.train_epoch(state, ek, bootstrapping)
-        dt = time.time() - te
-        st = solver.last_prefetch_stats
-        sps = st["batches"] * solver.batch_size / dt
-        epoch_stats.append({
-            "round": rnd, "bootstrapping": bootstrapping,
-            "seconds": round(dt, 1), "loss": round(loss, 4),
-            "samples_per_s": round(sps, 1),
-            "consumer_stall_s": round(st["consumer_stall_s"], 1),
-            "producer_gather_s": round(st["producer_gather_s"], 1),
-        })
-        log(f"round {rnd} (boot={bootstrapping}): {dt:.0f}s, "
-            f"{sps:,.0f} streamed samples/s, stall "
-            f"{st['consumer_stall_s']:.0f}s, loss {loss:.4f}")
+        rc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--round", str(rnd), base]).returncode
+        if rc != 0:
+            log(f"round {rnd} subprocess failed (rc {rc})")
+            return 1
+        with open(os.path.join(base, f"round_{rnd}.json")) as f:
+            epoch_stats.append(json.load(f))
     train_s = time.time() - t_train
+
+    path, final_it = checkpoint.latest(cfg.output_path, cfg.net_name)
+    state = checkpoint.restore(path, solver.init_state())
+    log(f"final snapshot: {path} (iter {final_it})")
 
     # ---- evaluation: streamed templates + held-out-grid query subsample
     t_eval = time.time()
@@ -315,9 +455,17 @@ def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
         "objects": O, "train_poses": Ntr, "template_poses": T,
         "resident_f32_gb_required": round(resident_bytes / 1e9, 2),
         "hbm_gb": round(HBM_BYTES / 1e9, 1),
+        "round_process_recycling":
+            "each round runs in a fresh subprocess with checkpoint "
+            "handoff: this image's tunnel PJRT client permanently "
+            "retains every h2d transfer payload in host memory "
+            "(measured 33 MB anon RSS per 34 MB device_put; d2h fetches "
+            "are leak-free), so one process streaming all rounds "
+            "accumulates ~38 GB/round and OOMs the host",
         "cache_build_seconds": round(build_s, 1),
         "cache_fetch_seconds": round(fetch_s, 1),
         "train_seconds": round(train_s, 1),
+        "train_iters": int(final_it),
         "eval_seconds": round(eval_s, 1),
         "epochs": epoch_stats,
         "query_subsample": n_q,
@@ -338,5 +486,11 @@ def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/p3d_wang",
-                  sys.argv[2] if len(sys.argv) > 2 else None))
+    argv = sys.argv[1:]
+    if "--round" in argv:
+        i = argv.index("--round")
+        rnd = int(argv[i + 1])
+        rest = argv[:i] + argv[i + 2:]
+        sys.exit(run_round(rest[0] if rest else "/tmp/p3d_wang", rnd))
+    sys.exit(main(argv[0] if argv else "/tmp/p3d_wang",
+                  argv[1] if len(argv) > 1 else None))
