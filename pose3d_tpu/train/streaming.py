@@ -259,17 +259,26 @@ class StreamingSolver:
                              chunk: int = 512) -> jnp.ndarray:
         """Descriptors over a native cache without residency: gather fixed
         chunks on host, forward on device."""
+        return self.streamed_descriptors_rows(params, cache, np.arange(n),
+                                              chunk)
+
+    def streamed_descriptors_rows(self, params, cache: NativeCache,
+                                  rows: np.ndarray,
+                                  chunk: int = 512) -> jnp.ndarray:
+        """Descriptors for an arbitrary row subset of a native cache
+        (held-out/query subsampling without streaming the whole set)."""
         # one jit wrapper for the solver's lifetime — a fresh closure per
         # call would miss the jit cache (keyed by function identity) and
         # retrace on every logging/bootstrap pass
         fn = getattr(self, "_desc_jit", None)
         if fn is None:
             fn = self._desc_jit = jax.jit(descriptor_fn(self.spec))
+        rows = np.asarray(rows, np.int64)
         outs = []
-        for s in range(0, n, chunk):
-            rows = np.arange(s, min(s + chunk, n))
-            host, _ = cache.gather(rows)
-            pad = chunk - len(rows)
+        for s in range(0, len(rows), chunk):
+            sel = rows[s:s + chunk]
+            host, _ = cache.gather(sel)
+            pad = chunk - len(sel)
             if pad:
                 host = np.concatenate(
                     [host, np.zeros((pad,) + host.shape[1:], host.dtype)])

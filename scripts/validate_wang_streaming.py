@@ -10,15 +10,19 @@ carries it end to end:
 
   dataset build: device-rendered (one dispatch per mesh, pipelined
     fetches) -> flat native mmap caches (data/native_cache.py format,
-    written incrementally);
+    written incrementally via CacheWriter);
   training: StreamingSolver — epoch-long index mining on device,
     native threaded gathers, double-buffered bf16 host->device
     transfers (DevicePrefetcher), hard negatives ON (three
     near-identical mesh pairs with the partner's templates streamed as
     negs_<m>, reference src/networksolver.cpp:96-101), plus a
     bootstrapping round (computeKNN over streamed descriptors);
-  evaluation: streamed template descriptors + a held-out-pose query
-    subsample through the protocol histogram, with retrieval gates.
+  evaluation: streamed template descriptors + a train-pose query
+    subsample through the protocol histogram, with retrieval gates,
+    PLUS a per-pair confusability arm: the three near-identical pairs
+    are the reference's pusher2 design point (src/networksolver.cpp:
+    131-143) — partner-confusion rates are measured at the
+    pre-bootstrap checkpoint and at the final one.
 
 PROCESS RECYCLING (this image's tunnel): the axon PJRT client retains
 every host->device transfer payload in host anon memory for the life of
@@ -29,10 +33,15 @@ A streamed epoch uploads ~38 GB of batches, so a single process OOMs the
 anon RSS).  Each training round therefore runs in a fresh subprocess
 with checkpoint handoff — the same snapshot/restore(+recompute-kNN)
 lifecycle the reference uses for resume (src/networksolver.cpp:304-310),
-exercised once per round.
+exercised once per round.  Each round records the backend it actually
+ran on; a child silently falling back to CPU fails the validation.
+
+Scale knobs are env-overridable (P3D_WANG_*) so the hermetic suite can
+drive a micro configuration through the identical code path on CPU
+(tests/test_native_cache.py::test_wang_round_subprocess_handoff).
 
 Run: PYTHONPATH=.:/root/.axon_site python scripts/validate_wang_streaming.py
-Writes LEARNING_WANG_r4.json.  Wall time is dominated by the tunnel link;
+Writes LEARNING_WANG_r5.json.  Wall time is dominated by the tunnel link;
 every phase is recorded in the artifact.
 """
 
@@ -47,17 +56,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
-N_OBJECTS = 56
+N_OBJECTS = int(os.environ.get("P3D_WANG_OBJECTS", "56"))
 # the first BASE_OBJECTS live in train.cache/templates.cache; later
 # objects extend via train_ext.cache/templates_ext.cache so a smaller
 # earlier build is reused, not rebuilt (the render alone is ~35 s/object
 # through this tunnel)
-BASE_OBJECTS = 48
-TMPL_SUBDIV, TRAIN_SUBDIV = 2, 3
-N_NEGS = 64
-PAIR_BASES = [0, 2, 4]      # objects 0/1, 2/3, 4/5 are near-identical pairs
+BASE_OBJECTS = int(os.environ.get("P3D_WANG_BASE", "48"))
+TMPL_SUBDIV, TRAIN_SUBDIV = (int(x) for x in os.environ.get(
+    "P3D_WANG_SUBDIVS", "2,3").split(","))
+N_NEGS = int(os.environ.get("P3D_WANG_NEGS", "64"))
+# objects b/b+1 are near-identical pairs (the confusable-class probes)
+PAIR_BASES = [b for b in (0, 2, 4) if b + 1 < N_OBJECTS]
 HBM_BYTES = 16 * 1024**3    # v5e HBM (nominal spec)
-TRAIN_ROUNDS, BOOT_ROUNDS = 2, 1
+TRAIN_ROUNDS, BOOT_ROUNDS = (int(x) for x in os.environ.get(
+    "P3D_WANG_ROUNDS", "2,1").split(","))
+BATCH_SIZE = int(os.environ.get("P3D_WANG_BATCH", "300"))
+N_QUERIES = int(os.environ.get("P3D_WANG_QUERIES", "12000"))
+PAIR_QUERIES = int(os.environ.get("P3D_WANG_PAIR_QUERIES", "400"))
+# a tunnel outage can block inside the PJRT C API SIGTERM-immune for 30+
+# minutes; subprocess.run's timeout escalates to SIGKILL, which does work
+ROUND_TIMEOUT_S = int(os.environ.get("P3D_WANG_ROUND_TIMEOUT", "5400"))
 
 SHAPE_KINDS = ["cube", "tetra", "sphere", "cylinder", "cone", "torus"]
 
@@ -66,8 +84,8 @@ def _shapes():
     rng = np.random.default_rng(11)
     out = []
     for i in range(N_OBJECTS):
-        if i in (1, 3, 5):   # near-identical partner of i-1 (~5% bigger)
-            k, s, d = out[i - 1]
+        if i % 2 == 1 and i - 1 in PAIR_BASES:
+            k, s, d = out[i - 1]          # near-identical partner (~5% bigger)
             out.append((k, s * 1.05, d))
             continue
         k = SHAPE_KINDS[i % len(SHAPE_KINDS)]
@@ -77,65 +95,13 @@ def _shapes():
     return out
 
 
-class _CacheWriter:
-    """Incremental writer for the native cache format (v1 header; see
-    data/native_cache.py): header + N x CHW f32 data + N x L labels."""
-
-    def __init__(self, path, n, c, h, w, label_dim):
-        self.f = open(path, "wb")
-        hdr = np.zeros(10, np.uint32)
-        hdr[:2].view(np.uint64)[0] = 0x503344434143481
-        hdr[2] = 1
-        hdr[3:8] = [n, c, h, w, label_dim]
-        self.f.write(hdr.tobytes())
-        self.labels = []
-        self.n_written = 0
-        self.n = n
-
-    def append(self, patches_nhwc: np.ndarray, labels: np.ndarray):
-        chw = np.ascontiguousarray(
-            np.transpose(patches_nhwc, (0, 3, 1, 2)), np.float32)
-        self.f.write(chw.tobytes())
-        self.labels.append(np.asarray(labels, np.float32))
-        self.n_written += len(chw)
-
-    def close(self):
-        assert self.n_written == self.n, (self.n_written, self.n)
-        self.f.write(np.concatenate(self.labels).tobytes())
-        self.f.close()
-
-
-class ConcatCaches:
-    """Row-concatenation of NativeCaches (obj-major row spaces laid
-    end-to-end) behind the same gather() interface — lets an extension
-    build reuse an existing cache file untouched."""
-
-    def __init__(self, caches):
-        self.caches = caches
-        self.offsets = np.cumsum([0] + [c.n for c in caches])
-        self.n = int(self.offsets[-1])
-        first = caches[0]
-        self.c, self.h, self.w = first.c, first.h, first.w
-        self.label_dim = first.label_dim
-
-    def gather(self, rows):
-        rows = np.asarray(rows, np.int64)
-        out_p = None
-        out_l = np.empty((len(rows), self.label_dim), np.float32)
-        for i, cache in enumerate(self.caches):
-            sel = (rows >= self.offsets[i]) & (rows < self.offsets[i + 1])
-            if not sel.any():
-                continue
-            p, l = cache.gather(rows[sel] - self.offsets[i])
-            if out_p is None:
-                out_p = np.empty((len(rows),) + p.shape[1:], p.dtype)
-            out_p[sel] = p
-            out_l[sel] = l
-        return out_p, out_l
-
-    def close(self):
-        for c in self.caches:
-            c.close()
+def _pair_partners():
+    """partners[o] = confusable source object for o's hard negatives,
+    -1 when o has none (data/native_cache.write_pair_negatives contract)."""
+    partners = np.full(N_OBJECTS, -1, np.int64)
+    for b in PAIR_BASES:
+        partners[b], partners[b + 1] = b + 1, b
+    return partners
 
 
 def _build_cache_files(base, shapes, obj_lo, obj_hi, suffix, log):
@@ -146,6 +112,7 @@ def _build_cache_files(base, shapes, obj_lo, obj_hi, suffix, log):
     import jax.numpy as jnp
     from pose3d_tpu.data.benchmarks import LINEMOD_K
     from pose3d_tpu.data.dataset import create_synth_samples_pair
+    from pose3d_tpu.data.native_cache import CacheWriter
     from pose3d_tpu.render import make_test_mesh
 
     train_p = os.path.join(base, f"train{suffix}.cache")
@@ -164,8 +131,8 @@ def _build_cache_files(base, shapes, obj_lo, obj_hi, suffix, log):
         TRAIN_SUBDIV, True, to_host=False, defer_overflow=True,
         out_dtype="bfloat16")
     n_t, n_s = len(probe_t.patches), len(probe_s.patches)
-    wt = _CacheWriter(train_p + ".tmp", n_obj * n_s, 7, 64, 64, 8)
-    wm = _CacheWriter(tmpl_p + ".tmp", n_obj * n_t, 7, 64, 64, 8)
+    wt = CacheWriter(train_p, n_obj * n_s, 7, 64, 64, 8)
+    wm = CacheWriter(tmpl_p, n_obj * n_t, 7, 64, 64, 8)
     train_l, tmpl_l = [], []
     fetch_s = 0.0
     inflight = deque()
@@ -202,8 +169,6 @@ def _build_cache_files(base, shapes, obj_lo, obj_hi, suffix, log):
         drain()
     wt.close()
     wm.close()
-    os.replace(train_p + ".tmp", train_p)
-    os.replace(tmpl_p + ".tmp", tmpl_p)
     trl = np.stack(train_l)
     tml = np.stack(tmpl_l)
     np.savez(lab_p, train=trl, tmpl=tml)
@@ -225,7 +190,7 @@ def build_caches(base, shapes, log):
 
 
 def open_train_templates(base):
-    from pose3d_tpu.data.native_cache import NativeCache
+    from pose3d_tpu.data.native_cache import ConcatCaches, NativeCache
     pairs = []
     for stem in ("train", "templates"):
         caches = [NativeCache(os.path.join(base, f"{stem}.cache"))]
@@ -239,21 +204,13 @@ def open_train_templates(base):
 def build_negatives(base, tmpl_cache, n_t):
     """negs_<m> analogue: for each paired object, the partner's first
     N_NEGS template patches (the confusable impostors)."""
+    from pose3d_tpu.data.native_cache import write_pair_negatives
     negs_p = os.path.join(base, f"negs{N_OBJECTS}.cache")
-    counts = np.zeros(N_OBJECTS, np.int32)
-    for b in PAIR_BASES:
-        counts[b] = counts[b + 1] = N_NEGS
-    if os.path.exists(negs_p):
-        return negs_p, counts
-    w = _CacheWriter(negs_p + ".tmp", N_OBJECTS * N_NEGS, 7, 64, 64, 8)
-    for o in range(N_OBJECTS):
-        partner = o + 1 if o % 2 == 0 else o - 1
-        use = partner if counts[o] else o     # unpaired rows never drawn
-        rows = np.arange(use * n_t, use * n_t + N_NEGS)
-        p, l = tmpl_cache.gather(rows)
-        w.append(p, l)
-    w.close()
-    os.replace(negs_p + ".tmp", negs_p)
+    partners = _pair_partners()
+    counts = np.where(partners >= 0, N_NEGS, 0).astype(np.int32)
+    if not os.path.exists(negs_p):
+        counts = write_pair_negatives(negs_p, tmpl_cache, n_t, N_OBJECTS,
+                                      partners, N_NEGS)
     return negs_p, counts
 
 
@@ -281,7 +238,7 @@ def _setup(base, log):
                  net_name="manifold_wang", num_epochs=1,
                  num_training_rounds=TRAIN_ROUNDS,
                  num_bootstrapping_rounds=BOOT_ROUNDS,
-                 log_epoch=10**9, batch_size=300,
+                 log_epoch=10**9, batch_size=BATCH_SIZE,
                  output_path=os.path.join(base, "out") + "/")
     cfg.validate()
     os.makedirs(cfg.output_path, exist_ok=True)
@@ -301,7 +258,7 @@ def run_round(base: str, rnd: int) -> int:
     """Child process: one training round (epoch), checkpoint handoff."""
     import jax
     from pose3d_tpu.utils.tpuguard import require_tpu
-    require_tpu()
+    on_tpu = require_tpu()
     jax.config.update("jax_compilation_cache_dir", "/tmp/p3d_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
@@ -316,11 +273,17 @@ def run_round(base: str, rnd: int) -> int:
 
     state = solver.init_state()
     if rnd > 0:
-        path, it = checkpoint.latest(cfg.output_path, cfg.net_name)
+        found = checkpoint.latest(cfg.output_path, cfg.net_name)
+        if found is None:
+            log(f"round {rnd}: no snapshot found in {cfg.output_path} for "
+                "the handoff — previous round saved nothing")
+            return 2
+        path, it = found
         state = checkpoint.restore(path, state)
         log(f"round {rnd}: restored {path} (iter {it})")
 
-    stats = {"round": rnd}
+    stats = {"round": rnd, "backend": jax.default_backend(),
+             "tpu": bool(on_tpu)}
     bootstrapping = rnd >= cfg.num_training_rounds
     if bootstrapping:
         tk = time.time()
@@ -347,8 +310,41 @@ def run_round(base: str, rnd: int) -> int:
         json.dump(stats, f)
     log(f"round {rnd} (boot={bootstrapping}): {dt:.0f}s, "
         f"{stats['samples_per_s']:,.0f} streamed samples/s, stall "
-        f"{st['consumer_stall_s']:.0f}s, loss {loss:.4f}")
+        f"{st['consumer_stall_s']:.0f}s, loss {loss:.4f} "
+        f"[{stats['backend']}]")
     return 0
+
+
+def _pair_confusion(solver, state_params, dt_desc, src, rng):
+    """Per-pair confusability (reference pusher2 design point,
+    src/networksolver.cpp:131-143): for each near-identical pair, top-1
+    template retrieval over PAIR_QUERIES train-pose queries per member —
+    rate of wrong-class retrievals and of partner-specific confusions."""
+    import jax.numpy as jnp  # noqa: F401  (device context)
+    from pose3d_tpu.ops import knn as knn_ops
+
+    Ntr = src.nr_training_poses
+    T = src.nr_template_poses
+    out = {}
+    for b in PAIR_BASES:
+        pair_stats = {}
+        for o in (b, b + 1):
+            n_pq = min(PAIR_QUERIES, Ntr)
+            qrows = o * Ntr + np.sort(
+                rng.choice(Ntr, n_pq, replace=False))
+            dq = solver.streamed_descriptors_rows(state_params, src.train,
+                                                  qrows)
+            _, idx = knn_ops.knn_l2(dq, dt_desc, k=1)
+            top1_obj = np.asarray(idx)[:, 0] // T
+            partner = b + 1 if o == b else b
+            pair_stats[f"obj{o}"] = {
+                "wrong_class": round(float(np.mean(top1_obj != o)), 4),
+                "partner_confusion": round(
+                    float(np.mean(top1_obj == partner)), 4),
+                "queries": int(n_pq),
+            }
+        out[f"pair_{b}_{b+1}"] = pair_stats
+    return out
 
 
 def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
@@ -392,46 +388,90 @@ def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
         if f.endswith(".ckpt"):
             os.remove(os.path.join(cfg.output_path, f))
     for rnd in range(total_rounds):
-        rc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--round", str(rnd), base]).returncode
+        stats_p = os.path.join(base, f"round_{rnd}.json")
+        if os.path.exists(stats_p):
+            os.remove(stats_p)
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--round", str(rnd), base],
+                timeout=ROUND_TIMEOUT_S).returncode
+        except subprocess.TimeoutExpired:
+            log(f"round {rnd} subprocess exceeded {ROUND_TIMEOUT_S}s "
+                "(hung tunnel?) — killed")
+            return 1
         if rc != 0:
             log(f"round {rnd} subprocess failed (rc {rc})")
             return 1
-        with open(os.path.join(base, f"round_{rnd}.json")) as f:
+        with open(stats_p) as f:
             epoch_stats.append(json.load(f))
     train_s = time.time() - t_train
 
-    path, final_it = checkpoint.latest(cfg.output_path, cfg.net_name)
+    parent_backend = jax.default_backend()
+    backends_consistent = all(s.get("backend") == parent_backend
+                              for s in epoch_stats)
+    if not backends_consistent:
+        log("WARNING: round backends "
+            f"{[s.get('backend') for s in epoch_stats]} != parent "
+            f"{parent_backend} — some rounds fell back")
+
+    found = checkpoint.latest(cfg.output_path, cfg.net_name)
+    if found is None:
+        log("no final snapshot found — training rounds saved nothing")
+        return 1
+    path, final_it = found
     state = checkpoint.restore(path, solver.init_state())
     log(f"final snapshot: {path} (iter {final_it})")
 
-    # ---- evaluation: streamed templates + held-out-grid query subsample
+    # ---- evaluation: streamed templates + train-pose query subsample
+    # (procedural meshes have no real-frame test set; the reference's own
+    # confusion logging also evaluates on the training set,
+    # src/networkevaluator.cpp:390)
     t_eval = time.time()
     dt_desc = solver.streamed_descriptors(state["params"], src.templates,
                                           O * T)
     rng = np.random.default_rng(3)
-    n_q = 12000
+    n_q = min(N_QUERIES, O * Ntr)
     qrows = np.sort(rng.choice(O * Ntr, n_q, replace=False))
-    dq_parts, ql_parts = [], []
-    for s in range(0, n_q, 1000):
-        rows = qrows[s:s + 1000]
-        host, lab = src.train.gather(rows)
-        fn = solver._desc_jit
-        dq_parts.append(fn(state["params"],
-                           jnp.asarray(host.astype(ml_dtypes.bfloat16))
-                           .astype(jnp.float32)))
+    dq = solver.streamed_descriptors_rows(state["params"], src.train, qrows,
+                                          chunk=1000)
+    _, ql = src.train.gather(qrows[:1])  # dtype probe (labels fetched below)
+    ql_parts = []
+    for s in range(0, n_q, 4096):
+        _, lab = src.train.gather(qrows[s:s + 4096])
         ql_parts.append(lab)
-    dq = jnp.concatenate(dq_parts)
     ql = np.concatenate(ql_parts)
     tl = tml.reshape(-1, 8)
     hist = evaluator.histogram_from_descriptors(
         dq, dt_desc, ql, tl, np.zeros(O, np.int32), k=cfg.knn)
-    eval_s = time.time() - t_eval
     names_h = ["wrong-class", "exact", "<10", "<20", "<40", "<180",
                "mean", "median"]
     log("query histogram: " + str({n: round(float(v), 3)
                                    for n, v in zip(names_h, hist)}))
+
+    # ---- pair-confusability arm: pre-bootstrap checkpoint vs final
+    pair_conf = {"final": _pair_confusion(
+        solver, state["params"], dt_desc, src, np.random.default_rng(7))}
+    preboot_it = cfg.num_training_rounds * cfg.num_epochs * solver.epoch_iter
+    preboot_p = checkpoint.snapshot_path(cfg.output_path, cfg.net_name,
+                                         preboot_it)
+    if BOOT_ROUNDS > 0 and os.path.exists(preboot_p) \
+            and preboot_it != final_it:
+        pre_state = checkpoint.restore(preboot_p, solver.init_state())
+        dt_pre = solver.streamed_descriptors(pre_state["params"],
+                                             src.templates, O * T)
+        pair_conf["pre_bootstrap"] = _pair_confusion(
+            solver, pre_state["params"], dt_pre, src,
+            np.random.default_rng(7))
+        pair_conf["note"] = (
+            "pre_bootstrap = after the plain training rounds (hard "
+            "negatives on), final = after the added bootstrapping round "
+            "(kNN-mined pushers, reference src/networksolver.cpp:131-143); "
+            "the delta confounds one extra epoch of training with the "
+            "bootstrap mining itself")
+    eval_s = time.time() - t_eval
+    log(f"pair confusion: {json.dumps(pair_conf.get('pre_bootstrap', {}))}"
+        f" -> {json.dumps(pair_conf['final'])}")
 
     checks = {
         "wrong_class": (float(hist[0]), hist[0] < 0.05),
@@ -440,15 +480,18 @@ def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
                               dt_desc.shape[1] == 64),
         "exceeds_residency": (round(resident_bytes / 1e9, 1),
                               resident_bytes > HBM_BYTES),
+        "round_backends_consistent": (
+            [s.get("backend") for s in epoch_stats], backends_consistent),
     }
     ok = all(v[1] for v in checks.values())
     log("WANG STREAMING VALIDATION: " + ("PASS" if ok else "WEAK"))
 
     summary = {
-        "platform": jax.default_backend(), "tpu": on_tpu,
-        "protocol": f"{O} procedural objects (3 near-identical pairs "
-                    f"with streamed hard negatives), manifold_wang "
-                    f"(64-D, 4-ch), subdiv {TMPL_SUBDIV}/{TRAIN_SUBDIV},"
+        "platform": parent_backend, "tpu": on_tpu,
+        "protocol": f"{O} procedural objects ({len(PAIR_BASES)} "
+                    f"near-identical pairs with streamed hard negatives), "
+                    f"manifold_wang (64-D, 4-ch), subdiv "
+                    f"{TMPL_SUBDIV}/{TRAIN_SUBDIV},"
                     f" {cfg.num_training_rounds}+"
                     f"{cfg.num_bootstrapping_rounds} rounds, bf16 "
                     "host->device transfers, f32 native mmap caches",
@@ -469,8 +512,13 @@ def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
         "eval_seconds": round(eval_s, 1),
         "epochs": epoch_stats,
         "query_subsample": n_q,
+        "query_source": "train-pose subsample (no real-frame test set "
+                        "exists for procedural meshes; the reference's "
+                        "confusion logging likewise evaluates on the "
+                        "training set, src/networkevaluator.cpp:390)",
         "histogram": {n: round(float(v), 4)
                       for n, v in zip(names_h, hist)},
+        "pair_confusion": pair_conf,
         "checks": {k: {"value": v, "pass": bool(p)}
                    for k, (v, p) in checks.items()},
         "pass": bool(ok),
@@ -478,7 +526,7 @@ def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
     }
     if artifact is None:
         artifact = os.path.join(os.path.dirname(__file__), "..",
-                                "LEARNING_WANG_r4.json")
+                                "LEARNING_WANG_r5.json")
     with open(artifact, "w") as f:
         json.dump(summary, f, indent=1)
     log("wrote " + os.path.abspath(artifact))
