@@ -73,9 +73,12 @@ def _measure(batch: int, iters: int, compute_dtype=None) -> float:
     float(chain(params, x, 1))                    # compile + first sync
     # min over repeated (t1, tn) pairs: tunnel dispatch throttle inflates
     # individual runs up to 10x, and a throttled SHORT run corrupts the
-    # difference — min-of-mins recovers the undisturbed device rate
+    # difference — min-of-mins recovers the undisturbed device rate.
+    # 5 pairs, not 3: BENCH_r04 landed 25% under the serving profile's
+    # rate for the identical program because one throttle window spanned
+    # all 3 pairs (reconciled in BENCH_RECONCILE_r5.json)
     t1s, tns = [], []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         float(chain(params, x, 1))
         t1s.append(time.perf_counter() - t0)

@@ -11,13 +11,19 @@ For {0,1} codes squared L2 equals Hamming distance, so the binary pass
 rides the standard kNN/histogram machinery (eval/evaluator.py
 binary_descriptor_fn); the CLI equivalent is ``pose3d eval --hamming``.
 
-Gates: Hamming wrong-class within 3 points (absolute) of the f32
-baseline and <20-degree mass within 5 points — binarization trades a
-little retrieval quality for 4x smaller codes and XOR-popcount search;
-the gate pins that the trade stays small.
+Gates (round-4 verdict weak item 2: gate on poses the trunk did NOT
+train on): the comparison runs over a >=1k-query HELD-OUT pose grid —
+the subdiv-2 view sphere at in-plane rotations shifted off the
+templates'/training set's 15-degree grid (dataset.py create_synth_samples
+``rots`` override) — Hamming wrong-class within 3 points (absolute) of
+the f32 baseline and <20-degree mass within 5 points.  Binarization
+trades a little retrieval quality for 4x smaller codes and XOR-popcount
+search; the gate pins that the trade stays small where it matters, on
+unseen poses.  Train-pose and tiny real-frame test rows are reported
+alongside.
 
 Run: PYTHONPATH=.:/root/.axon_site python scripts/validate_bin_hamming.py
-Writes LEARNING_BIN_r4.json.
+Writes LEARNING_BIN_r5.json.
 """
 
 import dataclasses
@@ -69,6 +75,28 @@ def main(base: str = "/tmp/p3d_validate_bin",
     print(f"dataset: train {data.train_patches.shape} "
           f"({time.time()-t0:.0f}s)", flush=True)
 
+    # held-out query grid: same subdiv-2 view sphere, in-plane rotations
+    # shifted off the training/template 15-degree grid (-38..37 step 15 ->
+    # 6 rots x 89 upper-hemisphere verts x 2 objects = 1068 queries the
+    # trunk never saw)
+    import jax.numpy as jnp
+    from pose3d_tpu.data.benchmarks import LINEMOD_K
+    from pose3d_tpu.data.dataset import create_synth_samples
+    from pose3d_tpu.render import make_test_mesh
+    q_p, q_l = [], []
+    for i, name in enumerate(cfg.used_models):
+        q = create_synth_samples(
+            make_test_mesh(name, 0.12), LINEMOD_K, i, 2, True,
+            to_host=False, out_dtype=str(data.tmpl_patches.dtype),
+            rots=(-38.0, 15.0, 37.0))
+        q_p.append(q.patches)
+        q_l.append(q.labels)
+    ho_patches = jnp.stack(q_p)
+    ho_labels = np.stack(q_l)
+    n_heldout = int(ho_patches.shape[0] * ho_patches.shape[1])
+    print(f"held-out query grid: {ho_patches.shape} ({n_heldout} queries, "
+          f"{time.time()-t0:.0f}s)", flush=True)
+
     solver = Solver(cfg, data)
     state = solver.train()
     print(f"trunk trained {int(state['iter'])} iters "
@@ -83,14 +111,20 @@ def main(base: str = "/tmp/p3d_validate_bin",
     print("f32 L2 TEST histogram:",
           {n: round(float(v), 3) for n, v in zip(names, hist32)},
           flush=True)
-    # the fixture's real-frame test set is tiny (~34 queries, so one
-    # query = 3 points); the GATED comparison runs over the 1308-query
-    # training-pose set where a 5-point margin is statistically real
+    # train-pose rows (round-4's gate) are reported alongside; the GATED
+    # comparison now runs over the held-out grid (poses the trunk never
+    # trained on — round-4 verdict weak item 2)
     histq32 = evaluator.compute_histogram(
         fn32, state["params"], data.tmpl_patches, data.tmpl_labels,
         data.train_patches, data.train_labels, cfg.rot_inv, k=cfg.knn)
     print("f32 L2 TRAIN-pose histogram:",
           {n: round(float(v), 3) for n, v in zip(names, histq32)},
+          flush=True)
+    histho32 = evaluator.compute_histogram(
+        fn32, state["params"], data.tmpl_patches, data.tmpl_labels,
+        ho_patches, ho_labels, cfg.rot_inv, k=cfg.knn)
+    print("f32 L2 HELD-OUT histogram:",
+          {n: round(float(v), 3) for n, v in zip(names, histho32)},
           flush=True)
 
     t1 = time.time()
@@ -112,14 +146,22 @@ def main(base: str = "/tmp/p3d_validate_bin",
     print("Hamming TRAIN-pose histogram:",
           {n: round(float(v), 3) for n, v in zip(names, histq_h)},
           flush=True)
+    histho_h = evaluator.compute_histogram(
+        fn_bin, bin_state["params"], data.tmpl_patches, data.tmpl_labels,
+        ho_patches, ho_labels, cfg.rot_inv, k=cfg.knn)
+    print("Hamming HELD-OUT histogram:",
+          {n: round(float(v), 3) for n, v in zip(names, histho_h)},
+          flush=True)
 
     checks = {
-        "hamming_wrong_class": (
-            float(histq_h[0]),
-            histq_h[0] <= max(0.05, float(histq32[0]) + 0.03)),
-        "hamming_lt20_vs_f32": (
-            float(histq_h[3]), histq_h[3] >= float(histq32[3]) - 0.05),
-        "f32_baseline_learned": (float(histq32[3]), histq32[3] > 0.90),
+        "heldout_hamming_wrong_class": (
+            float(histho_h[0]),
+            histho_h[0] <= max(0.05, float(histho32[0]) + 0.03)),
+        "heldout_hamming_lt20_vs_f32": (
+            float(histho_h[3]), histho_h[3] >= float(histho32[3]) - 0.05),
+        "heldout_f32_baseline_learned": (
+            float(histho32[3]), histho32[3] > 0.90),
+        "heldout_queries_ge_1k": (n_heldout, n_heldout >= 1000),
     }
     ok = all(v[1] for v in checks.values())
     print("BIN/HAMMING VALIDATION:", "PASS" if ok else "WEAK", flush=True)
@@ -146,8 +188,15 @@ def main(base: str = "/tmp/p3d_validate_bin",
         "histogram_hamming128_trainpose": {n: round(float(v), 4)
                                            for n, v in zip(names,
                                                            histq_h)},
-        "gated_on": "train-pose histograms (1308 queries; the real-frame "
-                    "test set has ~34 queries, 3 points/query)",
+        "histogram_f32_l2_heldout": {n: round(float(v), 4)
+                                     for n, v in zip(names, histho32)},
+        "histogram_hamming128_heldout": {n: round(float(v), 4)
+                                         for n, v in zip(names, histho_h)},
+        "heldout_queries": n_heldout,
+        "gated_on": f"held-out pose grid ({n_heldout} queries: subdiv-2 "
+                    "sphere at in-plane rots -38..37 step 15, all off the "
+                    "training grid's 15-degree multiples); train-pose and "
+                    "~34-query real-frame test rows reported alongside",
         "checks": {k: {"value": round(v, 4), "pass": bool(p)}
                    for k, (v, p) in checks.items()},
         "pass": bool(ok),
@@ -155,7 +204,7 @@ def main(base: str = "/tmp/p3d_validate_bin",
     }
     if artifact is None:
         artifact = os.path.join(os.path.dirname(__file__), "..",
-                                "LEARNING_BIN_r4.json")
+                                "LEARNING_BIN_r5.json")
     with open(artifact, "w") as f:
         json.dump(summary, f, indent=1)
     print("wrote", os.path.abspath(artifact), flush=True)
