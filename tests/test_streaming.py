@@ -185,3 +185,26 @@ def test_streaming_hard_negative_override(tmp_path, monkeypatch):
     src.train.close()
     src.templates.close()
     src.negatives.close()
+
+
+def test_streamed_descriptor_rows_match_full(tmp_path, monkeypatch):
+    """streamed_descriptors_rows on an arbitrary subset (with padding in
+    the last chunk) must equal the corresponding rows of the full
+    streamed pass — the wang flagship's query/pair-confusion evals gather
+    this way."""
+    data, cfg = _cached_device_data(monkeypatch)
+    src = _make_sources(tmp_path, data)
+    tables = light_tables(np.asarray(data.train_labels),
+                          np.asarray(data.tmpl_labels),
+                          np.asarray(data.rot_inv))
+    solver = StreamingSolver(cfg, src, tables)
+    params = solver.init_state()["params"]
+    n = src.nr_objects * src.nr_training_poses
+    full = np.asarray(
+        solver.streamed_descriptors(params, src.train, n, chunk=8))
+    rows = np.array([1, 0, n - 1, 5, 3])
+    sub = np.asarray(solver.streamed_descriptors_rows(
+        params, src.train, rows, chunk=4))
+    np.testing.assert_allclose(sub, full[rows], atol=1e-5)
+    src.train.close()
+    src.templates.close()
