@@ -347,7 +347,13 @@ def _pair_confusion(solver, state_params, dt_desc, src, rng):
     return out
 
 
-def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
+def main(base: str = "/tmp/p3d_wang", artifact: str | None = None,
+         eval_only: bool = False) -> int:
+    """``eval_only``: skip the training loop and evaluate the newest
+    existing snapshot, loading per-round stats from the round_N.json files
+    a previous invocation (or manually driven ``--round N`` children) left
+    in ``base`` — lets a WEAK run be extended with more rounds and
+    re-gated without retraining from scratch."""
     import jax
     from pose3d_tpu.utils.tpuguard import require_tpu
     on_tpu = require_tpu()
@@ -384,28 +390,42 @@ def main(base: str = "/tmp/p3d_wang", artifact: str | None = None) -> int:
     t_train = time.time()
     epoch_stats = []
     total_rounds = cfg.num_training_rounds + cfg.num_bootstrapping_rounds
-    for f in os.listdir(cfg.output_path):   # stale handoffs from a prior run
-        if f.endswith(".ckpt"):
-            os.remove(os.path.join(cfg.output_path, f))
-    for rnd in range(total_rounds):
-        stats_p = os.path.join(base, f"round_{rnd}.json")
-        if os.path.exists(stats_p):
-            os.remove(stats_p)
-        try:
-            rc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--round", str(rnd), base],
-                timeout=ROUND_TIMEOUT_S).returncode
-        except subprocess.TimeoutExpired:
-            log(f"round {rnd} subprocess exceeded {ROUND_TIMEOUT_S}s "
-                "(hung tunnel?) — killed")
+    if not eval_only:
+        for f in os.listdir(cfg.output_path):   # stale prior-run handoffs
+            if f.endswith(".ckpt"):
+                os.remove(os.path.join(cfg.output_path, f))
+        for rnd in range(total_rounds):
+            stats_p = os.path.join(base, f"round_{rnd}.json")
+            if os.path.exists(stats_p):
+                os.remove(stats_p)
+            try:
+                rc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--round", str(rnd), base],
+                    timeout=ROUND_TIMEOUT_S).returncode
+            except subprocess.TimeoutExpired:
+                log(f"round {rnd} subprocess exceeded {ROUND_TIMEOUT_S}s "
+                    "(hung tunnel?) — killed")
+                return 1
+            if rc != 0:
+                log(f"round {rnd} subprocess failed (rc {rc})")
+                return 1
+            with open(stats_p) as f:
+                epoch_stats.append(json.load(f))
+    else:
+        rnd = 0
+        while os.path.exists(os.path.join(base, f"round_{rnd}.json")):
+            with open(os.path.join(base, f"round_{rnd}.json")) as f:
+                epoch_stats.append(json.load(f))
+            rnd += 1
+        if not epoch_stats:
+            log("--eval-only with no round_N.json stats in " + base)
             return 1
-        if rc != 0:
-            log(f"round {rnd} subprocess failed (rc {rc})")
-            return 1
-        with open(stats_p) as f:
-            epoch_stats.append(json.load(f))
+        log(f"eval-only: loaded stats for {len(epoch_stats)} rounds")
     train_s = time.time() - t_train
+    if eval_only:   # wall time of the rounds as their children measured it
+        train_s = sum(s["seconds"] + s.get("knn_mine_seconds", 0.0)
+                      for s in epoch_stats)
 
     parent_backend = jax.default_backend()
     backends_consistent = all(s.get("backend") == parent_backend
@@ -540,5 +560,7 @@ if __name__ == "__main__":
         rnd = int(argv[i + 1])
         rest = argv[:i] + argv[i + 2:]
         sys.exit(run_round(rest[0] if rest else "/tmp/p3d_wang", rnd))
+    ev = "--eval-only" in argv
+    argv = [a for a in argv if a != "--eval-only"]
     sys.exit(main(argv[0] if argv else "/tmp/p3d_wang",
-                  argv[1] if len(argv) > 1 else None))
+                  argv[1] if len(argv) > 1 else None, eval_only=ev))
