@@ -195,12 +195,19 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
     print(f"trained {iters} iters in {train_s:.0f}s "
           f"({iters*300/max(train_s,1e-9):,.0f} samples/s e2e)", flush=True)
 
-    t0 = time.time()
     fn = descriptor_fn(NETWORKS[cfg.net_name])
-    hist = evaluator.compute_histogram(
-        fn, state["params"], data.tmpl_patches, data.tmpl_labels,
-        data.train_patches, data.train_labels, cfg.rot_inv, k=cfg.knn)
-    eval_s = time.time() - t0
+    # min over 3 reps (the repo's standard tunnel protocol, CLAUDE.md):
+    # the fused histogram is ONE dispatch + one small fetch, so its wall
+    # time is dominated by whatever sync-latency window it lands in —
+    # observed 1.3 s to 5.2 s for the same program run-to-run
+    eval_reps = []
+    for _ in range(3):
+        t0 = time.time()
+        hist = evaluator.compute_histogram(
+            fn, state["params"], data.tmpl_patches, data.tmpl_labels,
+            data.train_patches, data.train_labels, cfg.rot_inv, k=cfg.knn)
+        eval_reps.append(time.time() - t0)
+    eval_s = min(eval_reps)
     names_h = ["wrong-class", "exact", "<10", "<20", "<40", "<180", "mean",
                "median"]
     print("TRAIN-set histogram:", {n: round(float(v), 3)
@@ -220,9 +227,16 @@ def main(base="/tmp/p3d_bench_e2e", rounds=3, n_objects=15, train_subdiv=3,
         "gen_dispatches_per_mesh": 1,
         "gen_host_syncs": 1,
         "gen_seconds": round(gen_s, 1),
+        # dispatch vs drain split: all render programs are enqueued within
+        # gen_dispatch_seconds (the pipeline itself); the rest of gen_s is
+        # the device draining the queue + the single overflow-flags fetch,
+        # i.e. tunnel weather, not pipeline structure
+        "gen_dispatch_seconds": round(mesh_marks[-1][1], 1),
         "gen_views_per_s": round(n_views / max(gen_s, 1e-9), 2),
         "gen_views_per_s_steady": round(gen_steady, 2),
-        "train_seconds": round(train_s, 1), "eval_seconds": round(eval_s, 1),
+        "train_seconds": round(train_s, 1),
+        "eval_seconds": round(eval_s, 1),
+        "eval_seconds_reps": [round(t, 2) for t in eval_reps],
         "train_iters": iters,
         "train_samples_per_s": round(iters * 300 / max(train_s, 1e-9), 1),
         "eval_queries_per_s": round(n_eval / max(eval_s, 1e-9), 1),

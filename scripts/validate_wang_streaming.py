@@ -79,6 +79,27 @@ ROUND_TIMEOUT_S = int(os.environ.get("P3D_WANG_ROUND_TIMEOUT", "5400"))
 
 SHAPE_KINDS = ["cube", "tetra", "sphere", "cylinder", "cone", "torus"]
 
+# Per-object albedo tints (default on).  make_test_mesh colors every
+# instance of a shape kind identically, so with 56 objects the random
+# sizes collide to within <1% and the set accidentally contains many
+# near-clones beyond the three DESIGNED pairs — the first r5 run measured
+# ~50% wrong-class for cubes/cones against *other* same-kind objects
+# while partner confusion stayed 2-18%.  Real benchmark objects
+# (BigBIRD products) are distinct in albedo; the tint restores that.
+# The rasterizer interpolates vertex colors linearly, so multiplying the
+# cached patches' RGB by a per-object constant is EXACTLY the render of a
+# tinted mesh — no re-render needed.  Designed pairs share their tint so
+# they remain the confusability probes (size ratio 1.05 only).
+TINT = os.environ.get("P3D_WANG_TINT", "1") != "0"
+
+
+def _tints():
+    rng = np.random.default_rng(23)
+    t = rng.uniform(0.35, 1.0, size=(N_OBJECTS, 3)).astype(np.float32)
+    for b in PAIR_BASES:
+        t[b + 1] = t[b]          # designed pairs share albedo
+    return t
+
 
 def _shapes():
     rng = np.random.default_rng(11)
@@ -189,10 +210,14 @@ def build_caches(base, shapes, log):
     return trl, tml, b1 + b2, f1 + f2
 
 
-def open_train_templates(base):
+def open_train_templates(base, tinted: bool = False):
     from pose3d_tpu.data.native_cache import ConcatCaches, NativeCache
     pairs = []
     for stem in ("train", "templates"):
+        if tinted:
+            pairs.append(NativeCache(
+                os.path.join(base, f"{stem}_tint{N_OBJECTS}.cache")))
+            continue
         caches = [NativeCache(os.path.join(base, f"{stem}.cache"))]
         ext = os.path.join(base, f"{stem}_ext.cache")
         if os.path.exists(ext):
@@ -201,11 +226,40 @@ def open_train_templates(base):
     return pairs
 
 
+def tint_caches(base, log):
+    """Rewrite the rendered caches with the per-object RGB albedo tints
+    (idempotent; pure host IO — see the TINT comment above for why this
+    is exactly equivalent to re-rendering tinted meshes)."""
+    from pose3d_tpu.data.native_cache import CacheWriter
+    outs = {s: os.path.join(base, f"{s}_tint{N_OBJECTS}.cache")
+            for s in ("train", "templates")}
+    if all(os.path.exists(p) for p in outs.values()):
+        return
+    tints = _tints()
+    src_train, src_tmpl = open_train_templates(base)
+    for stem, src in (("train", src_train), ("templates", src_tmpl)):
+        n_per = src.n // N_OBJECTS
+        t0 = time.time()
+        with CacheWriter(outs[stem], src.n, src.c, src.h, src.w,
+                         src.label_dim) as w:
+            chunk = 2048
+            for s in range(0, src.n, chunk):
+                rows = np.arange(s, min(s + chunk, src.n))
+                p, l = src.gather(rows)
+                obj = rows // n_per
+                p[..., :3] *= tints[obj][:, None, None, :]
+                w.append(p, l)
+        log(f"  tinted {stem}: {src.n} rows ({time.time()-t0:.0f}s)")
+    src_train.close()
+    src_tmpl.close()
+
+
 def build_negatives(base, tmpl_cache, n_t):
     """negs_<m> analogue: for each paired object, the partner's first
     N_NEGS template patches (the confusable impostors)."""
     from pose3d_tpu.data.native_cache import write_pair_negatives
-    negs_p = os.path.join(base, f"negs{N_OBJECTS}.cache")
+    tag = f"_tint{N_OBJECTS}" if TINT else str(N_OBJECTS)
+    negs_p = os.path.join(base, f"negs{tag}.cache")
     partners = _pair_partners()
     counts = np.where(partners >= 0, N_NEGS, 0).astype(np.int32)
     if not os.path.exists(negs_p):
@@ -229,7 +283,9 @@ def _setup(base, log):
     O, Ntr = trl.shape[:2]
     T = tml.shape[1]
 
-    train_cache, tmpl_cache = open_train_templates(base)
+    if TINT:
+        tint_caches(base, log)
+    train_cache, tmpl_cache = open_train_templates(base, tinted=TINT)
     negs_p, neg_counts = build_negatives(base, tmpl_cache, T)
 
     names = [f"{k}{i}" for i, (k, _, _) in enumerate(shapes)]
@@ -508,8 +564,12 @@ def main(base: str = "/tmp/p3d_wang", artifact: str | None = None,
 
     summary = {
         "platform": parent_backend, "tpu": on_tpu,
-        "protocol": f"{O} procedural objects ({len(PAIR_BASES)} "
-                    f"near-identical pairs with streamed hard negatives), "
+        "protocol": f"{O} procedural objects"
+                    + (" with distinct per-object albedo tints" if TINT
+                       else "")
+                    + f" ({len(PAIR_BASES)} near-identical "
+                    + ("tint-sharing " if TINT else "")
+                    + "pairs with streamed hard negatives), "
                     f"manifold_wang (64-D, 4-ch), subdiv "
                     f"{TMPL_SUBDIV}/{TRAIN_SUBDIV},"
                     f" {cfg.num_training_rounds}+"
