@@ -66,7 +66,7 @@ def main(base: str = "/tmp/p3d_validate_bin",
         training_subdiv=2, num_training_rounds=8,
         num_bootstrapping_rounds=2, num_epochs=1, log_epoch=10**9,
         batch_size=300, random_background=1, binarization=True,
-        binarization_epochs=24)
+        binarization_epochs=int(os.environ.get("P3D_BIN_EPOCHS", "24")))
 
     t0 = time.time()
     db = DatasetManager(cfg)
