@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import logging
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, replace as dc_replace
 from functools import lru_cache, partial
 from typing import Dict, List, Optional, Tuple
 
@@ -96,6 +96,38 @@ class DeviceData:
     @property
     def nr_template_poses(self) -> int:
         return self.tmpl_patches.shape[1]
+
+
+def with_extra_train(data: DeviceData, extra_patches, extra_labels,
+                     inplane: bool = True) -> DeviceData:
+    """Return ``data`` with extra rendered views appended to the training
+    set (pose axis) and the top-2 similar-template table recomputed over
+    the union in one program.
+
+    The reference trains every head on the fixed 15-degree in-plane grid
+    (createSynthSamplesWadim, reference src/datasetmanager.cpp:498-537) —
+    re-rendering a denser grid there means another pass through the serial
+    GL pipeline, so it never does.  Here synthetic views are a cheap
+    batched device render, which makes pose-densified training sets (e.g.
+    the 5-degree in-plane grid of the binarization head's grid-sparsity
+    ablation, LEARNING_BIN_r5.json) a one-call transform.  Templates, test set, elevation gates and hard negatives
+    are untouched; only ``train_*`` and ``max_sim_tmpl`` change.
+
+    ``extra_patches`` [O, Na, 64, 64, 7] (host or device; cast to the
+    resident storage dtype), ``extra_labels`` [O, Na, 8].
+    """
+    extra_patches = jnp.asarray(extra_patches, data.train_patches.dtype)
+    extra_labels = jnp.asarray(extra_labels, data.train_labels.dtype)
+    train_p = jnp.concatenate([data.train_patches, extra_patches], axis=1)
+    train_l = jnp.concatenate([data.train_labels, extra_labels], axis=1)
+    if inplane:
+        max_sim = Q.top2_similar_templates_all(
+            train_l[:, :, 1:5], data.tmpl_labels[:, :, 1:5])
+    else:
+        max_sim = Q.top2_similar_templates_trans_all(
+            train_l[:, :, 5:8], data.tmpl_labels[:, :, 5:8])
+    return dc_replace(data, train_patches=train_p, train_labels=train_l,
+                      max_sim_tmpl=max_sim)
 
 
 def poses_to_labels(class_idx: int, poses: np.ndarray) -> np.ndarray:

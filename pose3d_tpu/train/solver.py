@@ -442,11 +442,17 @@ class Solver:
 
     # ---------------------------------------------------------- binarize
     def binarize(self, trunk_state: Dict,
-                 resume_iter: int = 0) -> Dict:
+                 resume_iter: int = 0,
+                 data: Optional["DeviceData"] = None) -> Dict:
         """Train the 128-bit binarization head on a frozen trunk
         (binarizeNet, reference src/networksolver.cpp:394-453): warm-start
         trunk weights from the trained descriptor net, run
-        ``binarization_epochs`` epochs with BinarizationLoss."""
+        ``binarization_epochs`` epochs with BinarizationLoss.
+
+        ``data`` overrides the training set for the head only — e.g. a
+        pose-densified grid from ``dataset.with_extra_train`` (used by
+        the LEARNING_BIN flagship's grid-sparsity ablation).  The epoch
+        length rescales so one epoch still covers every anchor once."""
         cfg = self.cfg
         bin_spec = load_spec(cfg.network_path, cfg.binarization_net_name)
         if bin_spec.in_channels != self.spec.in_channels:
@@ -472,9 +478,12 @@ class Solver:
             trunk_param_names(bin_spec))
         groups = self.groups
 
-        n_iters = self.epoch_iter
+        bin_data = self.data if data is None else data
+        n_iters = self.epoch_iter if data is None else max(
+            1, (bin_data.nr_objects * bin_data.nr_training_poses) // groups)
 
-        if "bin_epoch" not in self._steps:
+        step_key = ("bin_epoch", n_iters)
+        if step_key not in self._steps:
             def epoch(state, data):
                 # one compiled program per binarization epoch (lax.scan over
                 # the step) — the per-iteration host loop this replaces was
@@ -507,13 +516,13 @@ class Solver:
                 state, ls = jax.lax.scan(body, state, jnp.arange(n_iters))
                 return state, ls.mean()
 
-            self._steps["bin_epoch"] = jax.jit(epoch, donate_argnums=(0,))
-        jitted = self._steps["bin_epoch"]
+            self._steps[step_key] = jax.jit(epoch, donate_argnums=(0,))
+        jitted = self._steps[step_key]
         state = {"params": params, "opt": tx.init(params), "key": key,
                  "iter": jnp.zeros((), jnp.int32)}
         it_global = 0
         for _epoch in range(cfg.binarization_epochs):
-            state, mean_loss = jitted(state, self.data)
+            state, mean_loss = jitted(state, bin_data)
             it_global += n_iters
             log.info("binarize epoch %d mean loss %.4f", _epoch,
                      float(mean_loss))

@@ -71,6 +71,52 @@ def test_bin_head_params_change_during_binarize(tmp_path, monkeypatch):
     assert not np.allclose(np.asarray(state["params"]["bin_fc1"]["w"]),
                            np.asarray(init_head["bin_fc1"]["w"]))
 
+def test_with_extra_train_concat_and_resim(monkeypatch):
+    """with_extra_train appends along the pose axis and recomputes the
+    top-2 similar-template table over the union; appending copies of
+    existing training poses must reproduce their original table rows."""
+    from pose3d_tpu.data.dataset import with_extra_train
+    data, cfg = _cached_device_data(monkeypatch)
+    ntr = data.nr_training_poses
+    aug = with_extra_train(data, data.train_patches[:, :3],
+                           data.train_labels[:, :3])
+    assert aug.train_patches.shape[1] == ntr + 3
+    assert aug.train_patches.dtype == data.train_patches.dtype
+    assert aug.max_sim_tmpl.shape == (data.nr_objects, ntr + 3, 2)
+    # original rows unchanged; duplicated rows match their originals
+    np.testing.assert_array_equal(np.asarray(aug.max_sim_tmpl[:, :ntr]),
+                                  np.asarray(data.max_sim_tmpl))
+    np.testing.assert_array_equal(np.asarray(aug.max_sim_tmpl[:, ntr:]),
+                                  np.asarray(data.max_sim_tmpl[:, :3]))
+    # everything else untouched
+    assert aug.tmpl_patches is data.tmpl_patches
+    assert aug.test_patches is data.test_patches
+    assert aug.elev_ok is data.elev_ok
+    assert aug.hard_negs is data.hard_negs
+
+
+def test_binarize_data_override_scales_epoch(tmp_path, monkeypatch):
+    """binarize(data=...) trains the head on the override set with the
+    epoch length rescaled to cover every anchor of the larger grid."""
+    from pose3d_tpu.data.dataset import with_extra_train
+    data, cfg = _cached_device_data(monkeypatch)
+    cfg2 = dataclasses.replace(cfg, output_path="",
+                               net_name="manifold_rgbdnor_16",
+                               binarization_epochs=1, random_background=0)
+    solver = Solver(cfg2, data)
+    aug = with_extra_train(data, data.train_patches,
+                           data.train_labels)
+    state = solver.binarize(solver.init_state(), data=aug)
+    expect = max(1, (aug.nr_objects * aug.nr_training_poses)
+                 // solver.groups)
+    assert int(state["iter"]) == expect
+    from pose3d_tpu.models import init_params
+    init_head = init_params(jax.random.key(cfg2.seed + 1),
+                            NETWORKS[cfg2.binarization_net_name])
+    assert not np.allclose(np.asarray(state["params"]["bin_fc1"]["w"]),
+                           np.asarray(init_head["bin_fc1"]["w"]))
+
+
 def test_binarize_epoch_scan_iter_count_and_loss(tmp_path, monkeypatch):
     """binarize runs as ONE device program per epoch (lax.scan): the state
     iter counter must advance by epoch_iter per epoch and the mean epoch
