@@ -443,7 +443,8 @@ class Solver:
     # ---------------------------------------------------------- binarize
     def binarize(self, trunk_state: Dict,
                  resume_iter: int = 0,
-                 data: Optional["DeviceData"] = None) -> Dict:
+                 data: Optional["DeviceData"] = None,
+                 beta: float = 0.3, gamma: float = 4.0) -> Dict:
         """Train the 128-bit binarization head on a frozen trunk
         (binarizeNet, reference src/networksolver.cpp:394-453): warm-start
         trunk weights from the trained descriptor net, run
@@ -452,7 +453,12 @@ class Solver:
         ``data`` overrides the training set for the head only — e.g. a
         pose-densified grid from ``dataset.with_extra_train`` (used by
         the LEARNING_BIN flagship's grid-sparsity ablation).  The epoch
-        length rescales so one epoch still covers every anchor once."""
+        length rescales so one epoch still covers every anchor once.
+
+        ``beta``/``gamma`` are the BinarizationLoss saturation/balance
+        weights (models/losses.py) — traced scalars, so a sweep reuses
+        ONE compiled epoch program (each distinct program costs ~25-30 s
+        of executable load through a tunneled device)."""
         cfg = self.cfg
         bin_spec = load_spec(cfg.network_path, cfg.binarization_net_name)
         if bin_spec.in_channels != self.spec.in_channels:
@@ -484,7 +490,7 @@ class Solver:
 
         step_key = ("bin_epoch", n_iters)
         if step_key not in self._steps:
-            def epoch(state, data):
+            def epoch(state, data, beta, gamma):
                 # one compiled program per binarization epoch (lax.scan over
                 # the step) — the per-iteration host loop this replaces was
                 # dispatch-bound through a tunneled device, exactly like the
@@ -502,7 +508,8 @@ class Solver:
 
                     def loss_fn(p):
                         logits = apply(p, bin_spec, batch, bin_head=True)
-                        return losses.binarization_loss(logits)
+                        return losses.binarization_loss(logits, beta=beta,
+                                                        gamma=gamma)
 
                     loss, grads = jax.value_and_grad(loss_fn)(
                         carry["params"])
@@ -521,8 +528,10 @@ class Solver:
         state = {"params": params, "opt": tx.init(params), "key": key,
                  "iter": jnp.zeros((), jnp.int32)}
         it_global = 0
+        beta_s = jnp.float32(beta)
+        gamma_s = jnp.float32(gamma)
         for _epoch in range(cfg.binarization_epochs):
-            state, mean_loss = jitted(state, bin_data)
+            state, mean_loss = jitted(state, bin_data, beta_s, gamma_s)
             it_global += n_iters
             log.info("binarize epoch %d mean loss %.4f", _epoch,
                      float(mean_loss))
